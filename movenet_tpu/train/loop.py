@@ -1,0 +1,142 @@
+"""Functional train/eval steps.
+
+One canonical loop replaces the reference's two divergent trainers
+(trainer.py:112-178 legacy, pytorch_lightning_trainer.py:52-97
+Lightning).  The step functions are pure — params/opt-state in,
+params/opt-state out — so the same code runs single-device under
+``jax.jit`` and data-parallel under ``pjit`` with sharded batches
+(movenet_tpu.parallel).
+
+Loss semantics (reference trainer.py:128-129, tests/test_model.py:61):
+``cross_entropy(output, target)`` with ``target = codes[:, RF:]`` where
+``output`` is, by default, the model's *softmax* output — the
+CE-on-probabilities quirk.  ``parity_softmax_output=False`` switches to
+standard CE-on-logits.
+
+Gradient accumulation (reference trainer.py:130-152, Lightning
+``accumulate_grad_batches``) is a ``lax.scan`` over a leading microbatch
+axis: mean of microbatch gradients, one optimizer update.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from movenet_tpu.models.wavenet import WaveNet
+
+
+class Batch(struct.PyTreeNode):
+    """A training batch: int mu-law codes and optional video frames.
+
+    With gradient accumulation, arrays carry a leading
+    (accumulation_steps,) axis.
+    """
+
+    codes: jnp.ndarray                       # (B, T) or (A, B, T) int32
+    video: Optional[jnp.ndarray] = None      # (B, F, H, W, C) float or None
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + the LR schedule for metric logging."""
+
+    lr_schedule: Any = struct.field(pytree_node=False, default=None)
+
+
+def create_train_state(model: WaveNet, config, tx,
+                       rng: jax.Array,
+                       sample_batch: Batch,
+                       lr_schedule=None) -> TrainState:
+    codes = sample_batch.codes
+    video = sample_batch.video
+    if codes.ndim == 3:  # strip accumulation axis for init
+        codes = codes[0]
+        video = None if video is None else video[0]
+    variables = model.init(rng, codes, video, method=WaveNet.init_all)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        lr_schedule=lr_schedule,
+    )
+
+
+def _loss_and_metrics(model: WaveNet, parity: bool):
+    rf = model.receptive_fields
+
+    def fn(params, batch: Batch):
+        logits = model.apply(
+            {"params": params}, batch.codes, batch.video,
+            method=WaveNet.train_logits)
+        logits = logits.astype(jnp.float32)       # (B, T-RF, C)
+        targets = batch.codes[:, rf:]
+        if parity:
+            # CE computed on softmax probabilities, as upstream
+            probs = jax.nn.softmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(probs, axis=-1)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+        loss = nll.mean()
+        acc = (logits.argmax(-1) == targets).mean()
+        return loss, acc
+
+    return fn
+
+
+def make_train_step(model: WaveNet, config):
+    """Build the jittable train step.
+
+    accumulation_steps == 1: batch is (B, ...).
+    accumulation_steps  > 1: batch is (A, B, ...); gradients are averaged
+    over the A microbatches before the single optimizer update.
+    """
+    parity = config.model_config.parity_softmax_output
+    accum = config.accumulation_steps
+    loss_fn = _loss_and_metrics(model, parity)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch: Batch):
+        if accum <= 1:
+            (loss, acc), grads = grad_fn(state.params, batch)
+        else:
+            def micro(carry, mb):
+                g_sum, l_sum, a_sum = carry
+                (l, a), g = grad_fn(state.params, mb)
+                g_sum = jax.tree.map(jnp.add, g_sum, g)
+                return (g_sum, l_sum + l, a_sum + a), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, l_sum, a_sum), _ = jax.lax.scan(
+                micro, (zeros, 0.0, 0.0), batch)
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            loss, acc = l_sum / accum, a_sum / accum
+
+        grad_norm = optax.global_norm(grads)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {
+            "loss": loss,
+            "accuracy": acc,
+            "grad_norm": grad_norm,
+        }
+        if state.lr_schedule is not None:
+            metrics["learning_rate"] = state.lr_schedule(state.step)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: WaveNet, config):
+    parity = config.model_config.parity_softmax_output
+    loss_fn = _loss_and_metrics(model, parity)
+
+    def eval_step(state: TrainState, batch: Batch):
+        loss, acc = loss_fn(state.params, batch)
+        return {"loss": loss, "accuracy": acc}
+
+    return eval_step
