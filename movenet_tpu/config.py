@@ -29,6 +29,13 @@ class ModelConfig:
     skip_channels: int = 16
     context_in_channels: int = 1
 
+    # Canonical sequence geometry (reference: wavenet.py:27-28).  The
+    # audio:video ratio must be a power of UPSAMPLE_STRIDE (10) for the
+    # learned-upsampler schedule; non-canonical values are used by tests
+    # and small synthetic datasets.
+    max_audio_frames: int = 160_000
+    max_video_frames: int = 160
+
     # --- behavior flags -------------------------------------------------
     # The reference's forward returns softmax probabilities by default and
     # computes cross-entropy on those probabilities (wavenet.py:189-191,

@@ -1,0 +1,104 @@
+"""Sharding rules and pjit-wrapped train/eval steps.
+
+Layout:
+  * parameters + optimizer state: replicated (channel sizes here are
+    tiny — <=256 — so tensor parallelism buys nothing; the reference
+    also replicates, via DDP);
+  * batch codes (B, T) / (A, B, T): batch dim on ``data``, time dim on
+    ``seq`` (when the seq axis is >1, XLA GSPMD inserts the
+    receptive-field halo exchanges for the causal shifts);
+  * video (B, F, H, W, C): batch on ``data`` (frames stay local: the
+    video encoder's transposed upsampling is pointwise per frame).
+
+The gradient all-reduce the reference gets from DDP hooks
+(trainer.py:230-234) falls out of pjit: replicated-out params with
+data-sharded inputs => XLA emits the psum over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from movenet_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+from movenet_tpu.train.loop import Batch, make_eval_step, make_train_step
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, accumulation: bool,
+                   shard_time: Optional[bool] = None) -> Batch:
+    """PartitionSpecs for a Batch (as a Batch pytree of specs)."""
+    if shard_time is None:
+        shard_time = mesh.shape[SEQ_AXIS] > 1
+    t_axis = SEQ_AXIS if shard_time else None
+    if accumulation:
+        codes = P(None, DATA_AXIS, t_axis)
+        video = P(None, DATA_AXIS, None, None, None, None)
+    else:
+        codes = P(DATA_AXIS, t_axis)
+        video = P(DATA_AXIS, None, None, None, None)
+    return Batch(codes=codes, video=video)
+
+
+def _to_shardings(mesh: Mesh, batch: Batch, spec: Batch) -> Batch:
+    codes = NamedSharding(mesh, spec.codes)
+    video = None if batch.video is None else \
+        NamedSharding(mesh, spec.video)
+    return Batch(codes=codes, video=video)
+
+
+def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
+    """Place a host (numpy) Batch onto the mesh with the standard
+    sharding.  On multi-host, each process contributes its local shard
+    (make_array_from_process_local_data)."""
+    accumulation = batch.codes.ndim == 3
+    spec = batch_sharding(mesh, accumulation)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        codes = multihost_utils.host_local_array_to_global_array(
+            batch.codes, mesh, spec.codes)
+        video = None
+        if batch.video is not None:
+            video = multihost_utils.host_local_array_to_global_array(
+                batch.video, mesh, spec.video)
+        return Batch(codes=codes, video=video)
+    sh = _to_shardings(mesh, batch, spec)
+    codes = jax.device_put(batch.codes, sh.codes)
+    video = None if batch.video is None else \
+        jax.device_put(batch.video, sh.video)
+    return Batch(codes=codes, video=video)
+
+
+def make_parallel_train_step(model, config, mesh: Mesh,
+                             has_video: bool,
+                             shard_time: Optional[bool] = None):
+    """pjit the functional train step with explicit in/out shardings."""
+    step = make_train_step(model, config)
+    rep = replicate(mesh)
+    spec = batch_sharding(mesh, config.accumulation_steps > 1, shard_time)
+    codes_sh = NamedSharding(mesh, spec.codes)
+    video_sh = NamedSharding(mesh, spec.video) if has_video else None
+    batch_sh = Batch(codes=codes_sh, video=video_sh)
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, batch_sh),
+        out_shardings=(rep, rep),
+    )
+
+
+def make_parallel_eval_step(model, config, mesh: Mesh, has_video: bool,
+                            shard_time: Optional[bool] = None):
+    step = make_eval_step(model, config)
+    rep = replicate(mesh)
+    spec = batch_sharding(mesh, False, shard_time)
+    codes_sh = NamedSharding(mesh, spec.codes)
+    video_sh = NamedSharding(mesh, spec.video) if has_video else None
+    batch_sh = Batch(codes=codes_sh, video=video_sh)
+    return jax.jit(step, in_shardings=(rep, batch_sh), out_shardings=rep)

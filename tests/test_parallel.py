@@ -1,0 +1,120 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh — the
+TPU-native replacement for the reference's untested torch.distributed
+layer (SURVEY §4: no distributed tests existed upstream)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from movenet_tpu.config import MeshConfig, ModelConfig, TrainingConfig
+from movenet_tpu.models.wavenet import make_wavenet
+from movenet_tpu.parallel import (
+    create_mesh,
+    local_batch_size,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    shard_batch,
+)
+from movenet_tpu.train import create_train_state, make_optimizer, \
+    make_train_step
+from movenet_tpu.train.loop import Batch
+
+
+def _setup(batch=8, t=512, accum=1, video=False, seq=1,
+           mesh_data=-1):
+    model_cfg = ModelConfig(
+        layer_size=4, stack_size=2, input_channels=32,
+        residual_channels=16, skip_channels=16,
+        compute_dtype="float32",
+        max_audio_frames=t, max_video_frames=max(1, t // 100))
+    cfg = TrainingConfig(
+        model_config=model_cfg, optimizer="Adam", learning_rate=1e-3,
+        scheduler=None, accumulation_steps=accum,
+        mesh=MeshConfig(data=mesh_data, seq=seq))
+    model = make_wavenet(model_cfg)
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 32, size=(batch, t)).astype(np.int32)
+    vid = None
+    if video:
+        f = t // 100
+        vid = rng.standard_normal((batch, f, 16, 16, 1)).astype(np.float32)
+    if accum > 1:
+        codes = codes.reshape(accum, batch // accum, t)
+        if vid is not None:
+            vid = vid.reshape(accum, batch // accum, *vid.shape[1:])
+    batch_ = Batch(codes=codes, video=vid)
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0),
+                               batch_)
+    return model, cfg, state, batch_
+
+
+def test_mesh_shapes():
+    mesh = create_mesh(MeshConfig(data=-1, seq=2))
+    assert mesh.shape == {"data": 4, "seq": 2}
+    mesh = create_mesh(MeshConfig(data=8, seq=1))
+    assert mesh.shape == {"data": 8, "seq": 1}
+    with pytest.raises(ValueError):
+        create_mesh(MeshConfig(data=3, seq=2))
+    assert local_batch_size(16, create_mesh(MeshConfig(data=8))) == 16
+
+
+def test_dp_matches_single_device():
+    model, cfg, state, batch = _setup(batch=8, t=512)
+    # single device
+    s1, m1 = jax.jit(make_train_step(model, cfg))(state, batch)
+
+    mesh = create_mesh(MeshConfig(data=8, seq=1))
+    with mesh:
+        pstep = make_parallel_train_step(model, cfg, mesh, has_video=False)
+        sharded = shard_batch(mesh, batch)
+        s2, m2 = pstep(state, sharded)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        s1.params, s2.params)
+
+
+def test_dp_plus_seq_sharding_matches():
+    model, cfg, state, batch = _setup(batch=4, t=512, seq=2, mesh_data=4)
+    s1, m1 = jax.jit(make_train_step(model, cfg))(state, batch)
+
+    mesh = create_mesh(MeshConfig(data=4, seq=2))
+    with mesh:
+        pstep = make_parallel_train_step(model, cfg, mesh,
+                                         has_video=False, shard_time=True)
+        s2, m2 = pstep(state, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        s1.params, s2.params)
+
+
+def test_dp_with_video_and_accumulation():
+    model, cfg, state, batch = _setup(batch=8, t=400, accum=2, video=True,
+                                      mesh_data=4, seq=1)
+    s1, m1 = jax.jit(make_train_step(model, cfg))(state, batch)
+
+    mesh = create_mesh(MeshConfig(data=4, seq=2))
+    with mesh:
+        pstep = make_parallel_train_step(model, cfg, mesh, has_video=True)
+        s2, m2 = pstep(state, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+
+    estep = make_parallel_eval_step(model, cfg, mesh, has_video=True)
+    with mesh:
+        em = estep(s2, Batch(codes=shard_batch(mesh, Batch(
+            codes=batch.codes[0], video=batch.video[0])).codes,
+            video=shard_batch(mesh, Batch(
+                codes=batch.codes[0], video=batch.video[0])).video))
+    assert np.isfinite(float(em["loss"]))
