@@ -145,6 +145,10 @@ class TrainingConfig:
     # --- model IO -----------------------------------------------------------
     pretrained_model_path: Optional[Path] = None
     model_output_path: Path = Path("models")
+    # resume from the latest checkpoint under model_output_path if any
+    # (the reference delegated this to grid.ai --auto_resume,
+    # experiments/02_kinetics_breakdancing.mk:70-92)
+    auto_resume: bool = False
 
     # --- logging --------------------------------------------------------
     tensorboard_dir: Path = Path("tensorboard_logs")
@@ -284,6 +288,7 @@ def arg_parser() -> argparse.ArgumentParser:
         default=None,
     )
     p.add_argument("--model_output_path", type=Path, default=None)
+    p.add_argument("--auto_resume", type=_bool_flag, default=False)
     p.add_argument("--training_logs_path", type=Path,
                    default=Path("training_logs"))
     # logging
@@ -359,6 +364,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
             if args.pretrained_model_path else None
         ),
         model_output_path=out_path,
+        auto_resume=args.auto_resume,
         tensorboard_dir=args.training_logs_path,
         log_samples_every=args.log_samples_every,
         logger=args.logger,

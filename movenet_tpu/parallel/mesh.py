@@ -40,17 +40,35 @@ def initialize_distributed(config) -> None:
             jax.local_device_count(), jax.device_count())
 
 
-def create_mesh(mesh_config=None, devices=None) -> Mesh:
-    """Build a (data, seq) mesh over all devices.
+def create_mesh(mesh_config=None, devices=None,
+                batch_size: Optional[int] = None) -> Mesh:
+    """Build a (data, seq) mesh.
 
-    mesh_config.data == -1 means "all devices not used by seq".
+    mesh_config.data == -1 means "all devices not used by seq"; when a
+    ``batch_size`` is also given, the data axis auto-fits to the largest
+    divisor of the batch that the devices allow (idling the remainder
+    with a warning) instead of failing on non-divisible batches.
+    An explicitly requested shape is honored strictly.
     """
+    import math
+
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if mesh_config is None:
         data, seq = n, 1
     else:
         data, seq = mesh_config.axis_sizes(n)
+    auto_data = mesh_config is None or mesh_config.data <= 0
+    if auto_data and batch_size is not None:
+        avail = n // seq
+        data = math.gcd(batch_size, avail)
+        if data * seq < n:
+            logger.warning(
+                "mesh auto-fit: using %d of %d devices (data=%d, seq=%d) "
+                "so the data axis divides batch_size=%d",
+                data * seq, n, data, seq, batch_size)
+        devices = list(np.asarray(devices).flat)[: data * seq]
+        n = len(devices)
     if data * seq != n:
         raise ValueError(
             f"mesh {data}x{seq} does not cover {n} devices")

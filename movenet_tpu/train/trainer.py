@@ -1,0 +1,223 @@
+"""Epoch driver: the one canonical trainer.
+
+Replaces both reference trainers (the 787-line legacy loop in
+trainer.py and the Lightning module in pytorch_lightning_trainer.py)
+with a single SPMD loop: config -> data -> pjit train/eval steps ->
+checkpoints -> metrics -> sample export.
+
+Flow per epoch (reference trainer.py:295-453 shape):
+  train loop (optional step cap) -> validation loop -> periodic
+  generation + sample export -> periodic checkpoint (+ final).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from movenet_tpu.config import TrainingConfig
+from movenet_tpu.data.pipeline import DataLoader, get_dataloader
+from movenet_tpu.models.sampler import fast_generate
+from movenet_tpu.models.wavenet import WaveNet, make_wavenet
+from movenet_tpu.parallel import (
+    create_mesh,
+    initialize_distributed,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    shard_batch,
+    sync_global_devices,
+)
+from movenet_tpu.train.checkpoint import CheckpointManager
+from movenet_tpu.train.loop import Batch, create_train_state
+from movenet_tpu.train.optim import make_optimizer, make_schedule
+from movenet_tpu.utils.observability import StepTimer, make_writer
+from movenet_tpu.utils.samples import export_samples
+
+logger = logging.getLogger(__name__)
+
+
+def _mean_metrics(metrics_list) -> Dict[str, float]:
+    if not metrics_list:
+        return {}
+    keys = metrics_list[0].keys()
+    return {k: float(np.mean([float(m[k]) for m in metrics_list]))
+            for k in keys}
+
+
+def train_model(
+    dataset_fp: str,
+    config: TrainingConfig,
+    train_loader: Optional[DataLoader] = None,
+    val_loader: Optional[DataLoader] = None,
+):
+    """Train a WaveNet per the config; returns the final TrainState.
+
+    ``train_loader``/``val_loader`` may be injected (tests, synthetic
+    data); by default they come from the dataset tree at ``dataset_fp``.
+    """
+    initialize_distributed(config)
+    mesh = create_mesh(config.mesh, batch_size=config.batch_size)
+    logger.info("mesh: %s over %d devices", dict(mesh.shape),
+                len(mesh.devices.flat))
+
+    mc = config.model_config
+    loader_kwargs = dict(
+        input_channels=mc.input_channels,
+        batch_size=config.batch_size,
+        use_video=config.use_video,
+        accumulation_steps=config.accumulation_steps,
+        max_audio_frames=mc.max_audio_frames,
+        max_video_frames=mc.max_video_frames,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    if train_loader is None:
+        train_loader = get_dataloader(
+            dataset_fp, train=True, num_workers=config.num_workers,
+            batch_subsample_frac=config.batch_subsample_frac,
+            **loader_kwargs)
+    if val_loader is None:
+        vkw = dict(loader_kwargs)
+        vkw.update(batch_size=config.val_batch_size,
+                   accumulation_steps=1)
+        val_loader = get_dataloader(
+            dataset_fp, train=False, num_workers=config.val_num_workers,
+            batch_subsample_frac=config.val_batch_subsample_frac,
+            shuffle=False, **vkw)
+
+    steps_per_epoch = train_loader.steps_per_epoch()
+    if config.n_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, config.n_steps_per_epoch)
+
+    model = make_wavenet(mc)
+    logger.info("model receptive field: %d", model.receptive_fields)
+
+    tx = make_optimizer(config, steps_per_epoch=steps_per_epoch)
+    schedule = make_schedule(config, steps_per_epoch=steps_per_epoch)
+
+    sample_batch = next(iter(train_loader.epoch(0)))
+    state = create_train_state(model, config, tx, jax.random.PRNGKey(
+        config.seed), sample_batch, lr_schedule=schedule)
+
+    out_dir = Path(config.model_output_path)
+    ckpt = CheckpointManager(out_dir)
+    start_epoch = 0
+    if config.pretrained_model_path:
+        pre = CheckpointManager(Path(config.pretrained_model_path))
+        state = pre.restore(state)
+        pre.close()
+        logger.info("restored pretrained state (step %d) from %s",
+                    int(state.step), config.pretrained_model_path)
+    elif getattr(config, "auto_resume", False) and \
+            ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_epoch = int(ckpt.latest_step()) + 1
+        logger.info("auto-resumed at epoch %d (step %d)", start_epoch,
+                    int(state.step))
+
+    if jax.process_index() == 0:
+        config.save(out_dir / "config.json")
+    writer = make_writer(config)
+
+    has_video = config.use_video
+    with mesh:
+        train_step = make_parallel_train_step(model, config, mesh,
+                                              has_video=has_video)
+        eval_step = make_parallel_eval_step(model, config, mesh,
+                                            has_video=has_video)
+        timer = StepTimer()
+
+        for epoch in range(start_epoch, config.n_epochs):
+            t_epoch = time.perf_counter()
+            train_metrics = []
+            for i, batch in enumerate(train_loader.epoch(epoch)):
+                if i >= steps_per_epoch:
+                    break
+                state, metrics = train_step(state, shard_batch(mesh,
+                                                               batch))
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics.update(timer.tick())
+                train_metrics.append(metrics)
+                writer.scalars("train", metrics, int(state.step))
+
+            val_metrics = []
+            for batch in val_loader.epoch(epoch):
+                m = eval_step(state, shard_batch(mesh, batch))
+                val_metrics.append({k: float(v) for k, v in m.items()})
+            if val_metrics:
+                writer.scalars("val", _mean_metrics(val_metrics),
+                               int(state.step))
+
+            epoch_summary = {
+                "epoch": epoch,
+                "epoch_seconds": time.perf_counter() - t_epoch,
+                **{f"train_{k}": v
+                   for k, v in _mean_metrics(train_metrics).items()},
+                **{f"val_{k}": v
+                   for k, v in _mean_metrics(val_metrics).items()},
+            }
+            writer.scalars("epoch", epoch_summary, epoch)
+            logger.info("epoch %d: %s", epoch, {
+                k: round(v, 5) for k, v in epoch_summary.items()})
+
+            if config.log_samples_every and \
+                    (epoch + 1) % config.log_samples_every == 0:
+                _log_samples(model, state, config, val_loader, out_dir,
+                             epoch)
+
+            is_last = epoch == config.n_epochs - 1
+            if jax.process_index() == 0 and (
+                    is_last or (epoch + 1) % config.checkpoint_every == 0):
+                ckpt.save(epoch, state)
+            sync_global_devices(f"epoch_{epoch}")
+
+    ckpt.wait()
+    ckpt.close()
+    writer.close()
+    return state
+
+
+def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
+                 epoch) -> None:
+    """Teacher-forced predictions + free-running generation on one val
+    batch, exported as WAVs (reference trainer.py:469-607)."""
+    if jax.process_index() != 0:
+        return
+    try:
+        batch = next(iter(val_loader.epoch(epoch)))
+    except StopIteration:
+        return
+    import jax.numpy as jnp
+
+    codes = jnp.asarray(batch.codes)
+    video = None if batch.video is None else jnp.asarray(batch.video)
+    rf = model.receptive_fields
+
+    logits = model.apply({"params": state.params}, codes, video,
+                         method=WaveNet.train_logits)
+    predicted = np.asarray(jnp.argmax(logits, -1))
+
+    n = config.generate_n_samples or codes.shape[-1]
+    generated = None
+    if n > rf:
+        t0 = time.perf_counter()
+        generated = np.asarray(fast_generate(
+            model, {"params": state.params}, codes[:, :rf], int(n),
+            temperature=config.generate_temperature,
+            rng=jax.random.PRNGKey(epoch), video=video))
+        logger.info("sample generation took %.2f seconds",
+                    time.perf_counter() - t0)
+
+    kinds = {"original": np.asarray(codes), "predicted": predicted}
+    if generated is not None:
+        kinds["generated"] = generated
+    model_rate = int(16_000 * config.model_config.max_audio_frames
+                     / 160_000)
+    export_samples(out_dir / "samples", epoch, "val", kinds,
+                   config.model_config.input_channels,
+                   model_rate=max(model_rate, 1))
