@@ -3,11 +3,12 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value        = samples/sec/chip of the cached ring-buffer sampler
-               (movenet_tpu.models.sampler.fast_generate) on the
+value        = samples/sec/chip of the VMEM-resident Pallas sampler
+               kernel (movenet_tpu.ops.pallas.ar_sampler) on the
                flagship config (layer=10, stack=3, 256 channels,
                RF=3072 — the reference's tested generation config,
-               tests/test_model.py:42-48).
+               tests/test_model.py:42-48).  The lax.scan sampler's rate
+               is reported as "scan_sampler_samples_per_sec".
 vs_baseline  = speedup over the reference's PyTorch sampler
                (wavenet.py:193-239: a Python loop running a full
                RF-window forward per sample), measured at 20.9
@@ -37,6 +38,7 @@ def main():
     from movenet_tpu.config import ModelConfig
     from movenet_tpu.models.sampler import fast_generate, naive_generate
     from movenet_tpu.models.wavenet import make_wavenet
+    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
 
     cfg = ModelConfig(
         layer_size=10, stack_size=3, input_channels=256,
@@ -60,12 +62,17 @@ def main():
             times.append(time.perf_counter() - t0)
         return sorted(times)[len(times) // 2]
 
-    # --- fast sampler ----------------------------------------------------
+    # --- Pallas VMEM-resident kernel --------------------------------------
     n_gen = 16_000  # one second of 16 kHz audio beyond the prompt
     n_total = rf + n_gen
-    dt_fast = timed(lambda: fast_generate(
+    dt_pallas = timed(lambda: pallas_generate(
         model, variables, prompt, n_total, temperature=0.0))
-    fast_rate = n_gen / dt_fast
+    fast_rate = n_gen / dt_pallas
+
+    # --- lax.scan cached sampler (general path: batched, video) -----------
+    dt_scan = timed(lambda: fast_generate(
+        model, variables, prompt, n_total, temperature=0.0))
+    scan_rate = n_gen / dt_scan
 
     # --- reference algorithm on the same chip -----------------------------
     n_base = 256
@@ -81,6 +88,7 @@ def main():
             fast_rate / REFERENCE_TORCH_SAMPLES_PER_SEC, 2),
         "vs_naive_same_chip": round(fast_rate / naive_rate, 2),
         "naive_same_chip_samples_per_sec": round(naive_rate, 2),
+        "scan_sampler_samples_per_sec": round(scan_rate, 2),
     }))
 
 

@@ -80,6 +80,10 @@ def preprocess_audio(audio: np.ndarray,
     the one-hot matmul).
     """
     audio = np.asarray(audio, dtype=np.float32)
+    from movenet_tpu.native import loader as native
+    if native.available():
+        return native.preprocess_audio(audio, input_channels,
+                                       normalize, target_frames)
     if audio.ndim == 2:
         # stereo -> mono by channel mean (dataset.py:258)
         audio = audio.mean(axis=0)
@@ -95,10 +99,11 @@ def preprocess_audio(audio: np.ndarray,
 def uniform_temporal_subsample(video: np.ndarray, num_samples: int,
                                axis: int = 0) -> np.ndarray:
     """pytorchvideo semantics (dataset.py:305-307): evenly spaced
-    indices linspace(0, T-1, num_samples), rounded to long."""
+    indices ``linspace(0, T-1, num_samples).long()`` — torch's .long()
+    TRUNCATES toward zero (no rounding)."""
     t = video.shape[axis]
     idx = np.linspace(0, t - 1, num_samples)
-    idx = np.clip(np.round(idx), 0, t - 1).astype(np.int64)
+    idx = np.clip(idx, 0, t - 1).astype(np.int64)  # truncation
     return np.take(video, idx, axis=axis)
 
 
@@ -135,11 +140,16 @@ def preprocess_video(video: np.ndarray,
     video = np.asarray(video)
     if video.ndim != 4 or video.shape[-1] not in (1, 3):
         raise ValueError(f"expected (F, H, W, 1|3) video, got {video.shape}")
+    if video.dtype == np.uint8:
+        from movenet_tpu.native import loader as native
+        if native.available():
+            return native.preprocess_video(video, num_frames, frame_hw)
     if video.shape[-1] == 3:
         gray = (video.astype(np.float32) @ _LUMA)
-        # torchvision rounds to the input dtype (uint8) before float use
+        # torchvision casts back to the input dtype: .to(uint8)
+        # TRUNCATES toward zero
         if video.dtype == np.uint8:
-            gray = np.round(gray)
+            gray = np.trunc(gray)
     else:
         gray = video[..., 0].astype(np.float32)
 

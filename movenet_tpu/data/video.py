@@ -90,15 +90,11 @@ def _decode_ffmpeg_cli(fp: Path) -> RawClip:
 
 
 def decode_media_file(fp: Path) -> RawClip:
-    try:
-        from movenet_tpu.native import loader as native_loader
-        if native_loader.available():
-            return native_loader.decode(fp)
-    except ImportError:
-        pass
+    # container decode goes through ffmpeg when present; the native C++
+    # library accelerates the per-clip PREPROCESS hot loop
+    # (movenet_tpu/native/io_loader.cpp), not the codec itself
     if _have_ffmpeg():
         return _decode_ffmpeg_cli(fp)
     raise RuntimeError(
-        f"cannot decode {fp}: no native loader built and no ffmpeg/ffprobe "
-        "on PATH. Repack clips as .npz (see movenet_tpu.data.synthetic) "
-        "or install ffmpeg.")
+        f"cannot decode {fp}: no ffmpeg/ffprobe on PATH. Repack clips as "
+        ".npz (see movenet_tpu.data.synthetic) or install ffmpeg.")

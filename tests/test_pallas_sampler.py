@@ -1,0 +1,64 @@
+"""Pallas AR sampler kernel correctness (interpret mode on CPU; the
+same kernel is verified compiled-on-TPU by bench.py and the verify
+drive — greedy output is bit-identical to the scan sampler there too)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from movenet_tpu.config import ModelConfig
+from movenet_tpu.models.sampler import fast_generate
+from movenet_tpu.models.wavenet import make_wavenet
+from movenet_tpu.ops.pallas.ar_sampler import (
+    pallas_generate,
+    stack_sampler_params,
+)
+
+
+def _model(layer=3, stack=2, c=32, r=16, s=16):
+    cfg = ModelConfig(layer_size=layer, stack_size=stack,
+                      input_channels=c, residual_channels=r,
+                      skip_channels=s, compute_dtype="float32")
+    model = make_wavenet(cfg)
+    prompt = jnp.zeros((1, model.receptive_fields), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), prompt)
+    return model, variables
+
+
+@pytest.mark.parametrize("layer,stack", [(3, 2), (4, 1)])
+def test_pallas_greedy_matches_scan_sampler(layer, stack, rng_np):
+    model, variables = _model(layer=layer, stack=stack)
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)), jnp.int32)
+    n = rf + 160
+
+    want = np.asarray(fast_generate(model, variables, prompt, n,
+                                    temperature=0.0))
+    got = np.asarray(pallas_generate(model, variables, prompt, n,
+                                     temperature=0.0, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_rejects_batches_and_short_n(rng_np):
+    model, variables = _model()
+    rf = model.receptive_fields
+    with pytest.raises(ValueError):
+        pallas_generate(model, variables,
+                        jnp.zeros((2, rf), jnp.int32), rf + 10,
+                        interpret=True)
+    with pytest.raises(ValueError):
+        pallas_generate(model, variables,
+                        jnp.zeros((1, rf), jnp.int32), rf,
+                        interpret=True)
+
+
+def test_stacked_params_shapes():
+    model, variables = _model(layer=3, stack=2, c=32, r=16, s=16)
+    sp = stack_sampler_params(model, variables)
+    n_layers = len(model.dilations)
+    assert sp["w_fg"].shape == (n_layers, 32, 32)
+    assert sp["w_out"].shape == (n_layers, 16, 32)
+    assert sp["b_out"].shape == (n_layers, 32)
+    assert sp["front_cur"].shape == (32, 16)
