@@ -31,9 +31,56 @@ import time
 import numpy as np
 
 
+def _train_steps_per_sec():
+    """Secondary metric (BASELINE.md): train steps/sec on the
+    kinetics-breakdancing config (experiments/02: video-conditioned,
+    layer=3 stack=3, 64/64 channels, batch 2, full 160k-sample clips),
+    bf16 compute, single chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from movenet_tpu.config import MeshConfig, ModelConfig, TrainingConfig
+    from movenet_tpu.models.wavenet import make_wavenet
+    from movenet_tpu.train import create_train_state, make_optimizer, \
+        make_train_step
+    from movenet_tpu.train.loop import Batch
+
+    mc = ModelConfig(layer_size=3, stack_size=3, input_channels=64,
+                     residual_channels=64, skip_channels=64,
+                     compute_dtype="bfloat16")
+    cfg = TrainingConfig(model_config=mc, optimizer="AdamW",
+                         learning_rate=3e-4, scheduler=None,
+                         batch_size=2, mesh=MeshConfig(data=1, seq=1))
+    model = make_wavenet(mc)
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        codes=jnp.asarray(rng.integers(0, 64, size=(2, 160_000)),
+                          jnp.int32),
+        video=jnp.asarray(rng.standard_normal((2, 160, 64, 64, 1)),
+                          jnp.float32))
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0),
+                               batch)
+    step = jax.jit(make_train_step(model, cfg))
+    state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = step(state, batch)
+        jax.block_until_ready(m["loss"])
+        times.append(time.perf_counter() - t0)
+    return 1.0 / sorted(times)[1]
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache (best effort under remote compile)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
 
     from movenet_tpu.config import ModelConfig
     from movenet_tpu.models.sampler import fast_generate, naive_generate
@@ -89,6 +136,8 @@ def main():
         "vs_naive_same_chip": round(fast_rate / naive_rate, 2),
         "naive_same_chip_samples_per_sec": round(naive_rate, 2),
         "scan_sampler_samples_per_sec": round(scan_rate, 2),
+        "train_steps_per_sec_breakdancing": round(
+            _train_steps_per_sec(), 3),
     }))
 
 

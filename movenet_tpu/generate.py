@@ -1,0 +1,148 @@
+"""Standalone generation CLI: checkpoint -> audio.
+
+    python -m movenet_tpu.generate --checkpoint <run_dir> \
+        --dataset /path/to/kinetics --n_samples 160000 \
+        --temperature 1.0 --out generated/
+
+The reference could only generate inside a training run
+(trainer.py:369-384, pytorch_lightning_trainer.py:36-50); this is the
+missing inference surface: load params from an orbax run directory
+(plus its config.json snapshot), take prompts from validation clips (or
+silence), and synthesize waveforms with the fastest applicable sampler:
+
+  * batch 1, no video  -> Pallas VMEM kernel
+  * otherwise          -> lax.scan cached sampler
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def generate_from_checkpoint(
+    checkpoint_dir: Path,
+    dataset_fp: str = None,
+    n_samples: int = None,
+    temperature: float = 1.0,
+    batch_size: int = 1,
+    use_video: bool = None,
+    out_dir: Path = Path("generated"),
+    seed: int = 0,
+    parity_sampling: bool = True,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from movenet_tpu.config import TrainingConfig
+    from movenet_tpu.models.sampler import fast_generate
+    from movenet_tpu.models.wavenet import WaveNet, make_wavenet
+    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
+    from movenet_tpu.train import (
+        create_train_state, make_optimizer, restore_checkpoint)
+    from movenet_tpu.train.loop import Batch
+    from movenet_tpu.utils.samples import export_samples
+
+    checkpoint_dir = Path(checkpoint_dir)
+    config = TrainingConfig.load(checkpoint_dir / "config.json")
+    mc = config.model_config
+    if use_video is None:
+        use_video = config.use_video
+    model = make_wavenet(mc)
+    rf = model.receptive_fields
+    n = int(n_samples or config.generate_n_samples or mc.max_audio_frames)
+    if n <= rf:
+        raise ValueError(f"n_samples ({n}) must exceed the receptive "
+                         f"field ({rf})")
+
+    # prompts: validation clips when a dataset is given, else silence
+    video = None
+    if dataset_fp:
+        from movenet_tpu.data.pipeline import get_dataloader
+
+        loader = get_dataloader(
+            dataset_fp, input_channels=mc.input_channels,
+            batch_size=batch_size, train=False, use_video=use_video,
+            shuffle=False, num_workers=2,
+            max_audio_frames=mc.max_audio_frames,
+            max_video_frames=mc.max_video_frames)
+        batch = next(iter(loader.epoch(0)))
+        prompt = jnp.asarray(batch.codes[:, :rf])
+        if use_video and batch.video is not None:
+            video = jnp.asarray(batch.video)
+    else:
+        from movenet_tpu.ops import mu_law_encode
+
+        silent_code = int(np.asarray(
+            mu_law_encode(jnp.zeros(1), mc.input_channels)[0]))
+        prompt = jnp.full((batch_size, rf), silent_code, jnp.int32)
+
+    # restore params (optimizer state comes along; only params matter)
+    state = create_train_state(
+        model, config, make_optimizer(config, steps_per_epoch=1),
+        jax.random.PRNGKey(0),
+        Batch(codes=np.zeros((batch_size, rf + 1), np.int32),
+              video=None if video is None else np.asarray(video)))
+    state = restore_checkpoint(checkpoint_dir, state)
+    variables = {"params": state.params}
+    logger.info("restored step-%d params from %s", int(state.step),
+                checkpoint_dir)
+
+    t0 = time.perf_counter()
+    if prompt.shape[0] == 1 and video is None:
+        codes = pallas_generate(model, variables, prompt, n,
+                                temperature=temperature, seed=seed,
+                                parity_sampling=parity_sampling)
+    else:
+        codes = fast_generate(model, variables, prompt, n,
+                              temperature=temperature,
+                              rng=jax.random.PRNGKey(seed), video=video,
+                              parity_sampling=parity_sampling)
+    codes = np.asarray(codes)
+    dt = time.perf_counter() - t0
+    n_new = (n - rf) * codes.shape[0]
+    logger.info("sample generation took %.2f seconds "
+                "(%.0f samples/sec incl compile)", dt, n_new / dt)
+
+    model_rate = max(1, int(16_000 * mc.max_audio_frames / 160_000))
+    written = export_samples(out_dir, int(state.step), "generate",
+                             {"generated": codes, "prompt": codes[:, :rf]},
+                             mc.input_channels, model_rate=model_rate)
+    return written
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s: %(levelname)s: %(message)s")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", type=Path, required=True,
+                    help="run directory containing checkpoints/ and "
+                         "config.json")
+    ap.add_argument("--dataset", type=str, default=None)
+    ap.add_argument("--n_samples", type=int, default=None)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--use_video", type=lambda x: bool(int(x)),
+                    default=None)
+    ap.add_argument("--parity_sampling", type=lambda x: bool(int(x)),
+                    default=True)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=Path, default=Path("generated"))
+    args = ap.parse_args(argv)
+    written = generate_from_checkpoint(
+        args.checkpoint, args.dataset, args.n_samples, args.temperature,
+        args.batch_size, args.use_video, args.out, args.seed,
+        args.parity_sampling)
+    for kind, paths in written.items():
+        for p in paths:
+            print(p)
+
+
+if __name__ == "__main__":
+    main()

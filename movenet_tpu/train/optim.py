@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -173,6 +174,169 @@ def make_schedule(config, steps_per_epoch: Optional[int] = None):
         "[None, 'OneCycleLR', 'CyclicLR', 'StepLR', 'MultiStepLR']")
 
 
+def onecycle_momentum_schedule(total_steps: int, pct_start: float = 0.45,
+                               base_momentum: float = 0.85,
+                               max_momentum: float = 0.95,
+                               three_phase: bool = True):
+    """torch OneCycleLR momentum cycling (cycle_momentum=True default):
+    momentum anneals opposite to the LR — max->base while LR warms up,
+    base->max while it anneals, then flat at max."""
+    if three_phase:
+        ends = np.array([
+            float(pct_start * total_steps) - 1.0,
+            float(2 * pct_start * total_steps) - 2.0,
+            float(total_steps) - 1.0,
+        ])
+        start_ms = np.array([max_momentum, base_momentum, max_momentum])
+        end_ms = np.array([base_momentum, max_momentum, max_momentum])
+    else:
+        ends = np.array([float(pct_start * total_steps) - 1.0,
+                         float(total_steps) - 1.0])
+        start_ms = np.array([max_momentum, base_momentum])
+        end_ms = np.array([base_momentum, max_momentum])
+    starts = np.concatenate([[0.0], ends[:-1]])
+    ends_j, starts_j = jnp.asarray(ends), jnp.asarray(starts)
+    s_j, e_j = jnp.asarray(start_ms), jnp.asarray(end_ms)
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        phase = jnp.clip(jnp.sum(s > ends_j), 0, len(ends) - 1)
+        lo, hi = starts_j[phase], ends_j[phase]
+        pct = jnp.clip(jnp.where(hi > lo, (s - lo) / (hi - lo), 1.0),
+                       0.0, 1.0)
+        a, b = s_j[phase], e_j[phase]
+        return b + (a - b) / 2.0 * (1.0 + jnp.cos(jnp.pi * pct))
+
+    return schedule
+
+
+def cyclic_momentum_schedule(base_momentum: float = 0.8,
+                             max_momentum: float = 0.9,
+                             step_size_up: int = 2000,
+                             step_size_down: Optional[int] = None,
+                             mode: str = "triangular",
+                             gamma: float = 1.0):
+    """torch CyclicLR momentum cycling: momentum moves inversely to the
+    LR between max_momentum and base_momentum."""
+    down = step_size_up if step_size_down is None else step_size_down
+    total = float(step_size_up + down)
+    ratio = step_size_up / total
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(1.0 + s / total)
+        x = 1.0 + s / total - cycle
+        scale = jnp.where(x <= ratio, x / ratio, (x - 1.0) / (ratio - 1.0))
+        height = (max_momentum - base_momentum) * scale
+        if mode == "triangular":
+            return max_momentum - height
+        if mode == "triangular2":
+            return max_momentum - height / (2.0 ** (cycle - 1.0))
+        if mode == "exp_range":
+            return max_momentum - height * (gamma ** s)
+        raise ValueError(f"unknown cyclic mode: {mode}")
+
+    return schedule
+
+
+def momentum_schedule_for(config, steps_per_epoch: Optional[int] = None):
+    """The momentum/beta1 schedule torch would apply, or None.
+
+    OneCycleLR cycles momentum by DEFAULT in torch (the reference never
+    disables it, pytorch_lightning_trainer.py:154-160); CyclicLR cycles
+    only when scheduler_cycle_momentum is set (config.py:63).
+    """
+    if config.scheduler == "OneCycleLR":
+        updates = math.ceil(
+            (steps_per_epoch or 1) / config.accumulation_steps)
+        return onecycle_momentum_schedule(
+            total_steps=config.n_epochs * updates,
+            pct_start=config.lr_pct_start, three_phase=True)
+    if config.scheduler == "CyclicLR" and config.scheduler_cycle_momentum:
+        return cyclic_momentum_schedule(
+            step_size_up=config.scheduler_step_size_up,
+            step_size_down=config.scheduler_step_size_down,
+            mode=config.scheduler_cyclic_mode,
+            gamma=config.scheduler_cyclic_gamma)
+    return None
+
+
+# ------------------------------------------- scheduled-momentum transforms
+def _adam_scheduled_b1(lr_fn, b1_fn, b2: float = 0.999, eps: float = 1e-8,
+                       decoupled_weight_decay: float = 0.0):
+    """torch Adam/AdamW with a time-varying beta1 (OneCycle momentum
+    cycling).  Matches torch's bias correction, which uses the CURRENT
+    beta1 at each step: bc1 = 1 - b1(t)^t."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        count = state["count"]
+        b1 = b1_fn(count)
+        lr = lr_fn(count)
+        t = (count + 1).astype(jnp.float32)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                          state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g,
+                          state["nu"], updates)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        new = jax.tree.map(
+            lambda m, v: -(lr / bc1) * m / (jnp.sqrt(v / bc2) + eps),
+            mu, nu)
+        if decoupled_weight_decay and params is not None:
+            new = jax.tree.map(
+                lambda u, p: u - lr * decoupled_weight_decay * p,
+                new, params)
+        return new, {"mu": mu, "nu": nu, "count": count + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _sgd_scheduled_momentum(lr_fn, m_fn):
+    """torch SGD with scheduled momentum: buf = m*buf + g."""
+
+    def init(params):
+        return {"buf": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        count = state["count"]
+        m = m_fn(count)
+        lr = lr_fn(count)
+        buf = jax.tree.map(lambda b, g: m * b + g, state["buf"], updates)
+        new = jax.tree.map(lambda b: -lr * b, buf)
+        return new, {"buf": buf, "count": count + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _rmsprop_scheduled_momentum(lr_fn, m_fn, alpha: float = 0.99,
+                                eps: float = 1e-8):
+    """torch RMSprop with scheduled momentum."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"sq": zeros, "buf": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        count = state["count"]
+        m = m_fn(count)
+        lr = lr_fn(count)
+        sq = jax.tree.map(lambda s, g: alpha * s + (1 - alpha) * g * g,
+                          state["sq"], updates)
+        buf = jax.tree.map(lambda b, g, s: m * b + g / (jnp.sqrt(s) + eps),
+                           state["buf"], updates, sq)
+        new = jax.tree.map(lambda b: -lr * b, buf)
+        return new, {"sq": sq, "buf": buf, "count": count + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 # -------------------------------------------------------------- optimizers
 def make_optimizer(config, steps_per_epoch: Optional[int] = None
                    ) -> optax.GradientTransformation:
@@ -187,6 +351,34 @@ def make_optimizer(config, steps_per_epoch: Optional[int] = None
     schedule = make_schedule(config, steps_per_epoch)
     name = config.optimizer
     wd = config.weight_decay
+
+    m_sched = momentum_schedule_for(config, steps_per_epoch)
+    if m_sched is not None:
+        # torch cycles momentum/beta1 along with the LR (OneCycleLR
+        # default; CyclicLR when cycle_momentum is set)
+        if name == "Adam":
+            core = optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                _adam_scheduled_b1(schedule, m_sched))
+        elif name == "AdamW":
+            core = _adam_scheduled_b1(schedule, m_sched,
+                                      decoupled_weight_decay=wd)
+        elif name == "SGD":
+            core = optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                _sgd_scheduled_momentum(schedule, m_sched))
+        elif name == "RMSprop":
+            core = optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                _rmsprop_scheduled_momentum(schedule, m_sched))
+        else:
+            raise ValueError(
+                f"optimizer {name} not recognized. Must be one of "
+                "['Adam', 'AdamW', 'SGD', 'RMSprop']")
+        clip = config.gradient_clipping
+        if clip and clip > 0:
+            return optax.chain(optax.clip_by_global_norm(clip), core)
+        return core
 
     if name == "Adam":
         # torch Adam: L2 term added to the gradient before moments

@@ -168,7 +168,7 @@ def train_model(
             if config.log_samples_every and \
                     (epoch + 1) % config.log_samples_every == 0:
                 _log_samples(model, state, config, val_loader, out_dir,
-                             epoch)
+                             epoch, writer)
 
             is_last = epoch == config.n_epochs - 1
             if jax.process_index() == 0 and (
@@ -183,7 +183,7 @@ def train_model(
 
 
 def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
-                 epoch) -> None:
+                 epoch, writer=None) -> None:
     """Teacher-forced predictions + free-running generation on one val
     batch, exported as WAVs (reference trainer.py:469-607)."""
     if jax.process_index() != 0:
@@ -218,6 +218,16 @@ def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
         kinds["generated"] = generated
     model_rate = int(16_000 * config.model_config.max_audio_frames
                      / 160_000)
-    export_samples(out_dir / "samples", epoch, "val", kinds,
-                   config.model_config.input_channels,
-                   model_rate=max(model_rate, 1))
+    # val loader is unshuffled, so the first batch maps onto the first
+    # index entries (decode failures may shift this; best-effort)
+    sources = [e.filepath
+               for e in val_loader.index.entries[:codes.shape[0]]]
+    written = export_samples(out_dir / "samples", epoch, "val", kinds,
+                             config.model_config.input_channels,
+                             model_rate=max(model_rate, 1),
+                             source_paths=sources)
+    if writer is not None:
+        from movenet_tpu.utils.samples import log_samples_table
+
+        log_samples_table(writer, "val", epoch, written,
+                          filepaths=sources)

@@ -50,6 +50,7 @@ def export_samples(
     input_channels: int,
     model_rate: int = 16_000,
     target_rate: Optional[int] = None,
+    source_paths: Optional[list] = None,
 ) -> Dict[str, list]:
     """Decode and write one batch of sample kinds.
 
@@ -76,6 +77,53 @@ def export_samples(
             paths.append(
                 write_wav(out / f"{kind}_{i:02d}.wav", audio, rate))
         written[kind] = paths
+    if source_paths:
+        # copy the source clips next to the audio artifacts
+        # (the reference copies the mp4 into the export dir,
+        # trainer.py:497-607)
+        import shutil
+
+        copied = []
+        for i, src in enumerate(source_paths):
+            src = Path(src)
+            if src.exists():
+                dst = out / f"source_{i:02d}{src.suffix}"
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copyfile(src, dst)
+                copied.append(dst)
+        written["source"] = copied
     logger.info("exported %s samples to %s",
                 {k: len(v) for k, v in written.items()}, out)
     return written
+
+
+def log_samples_table(writer, split: str, epoch: int,
+                      written: Dict[str, list],
+                      filepaths: Optional[list] = None) -> None:
+    """Log a W&B table of sample artifacts when the writer stack has a
+    live wandb run (the reference's wandb.Table of
+    video/original/predicted/generated audio, callbacks.py:60-134).
+    No-op for JSONL/TensorBoard-only stacks."""
+    from movenet_tpu.utils.observability import MultiWriter, WandbWriter
+
+    writers = writer.writers if isinstance(writer, MultiWriter) else \
+        [writer]
+    for w in writers:
+        if not isinstance(w, WandbWriter):
+            continue
+        wandb = w._wandb
+        kinds = [k for k in ("original", "predicted", "generated")
+                 if written.get(k)]
+        columns = ["split", "epoch", "idx", "fp"] + [f"{k}_audio"
+                                                     for k in kinds]
+        n = max(len(written[k]) for k in kinds)
+        data = []
+        for i in range(n):
+            row = [split, epoch, i,
+                   str(filepaths[i]) if filepaths and i < len(filepaths)
+                   else ""]
+            for k in kinds:
+                row.append(wandb.Audio(str(written[k][i])))
+            data.append(row)
+        w._run.log({"sample_output": wandb.Table(columns=columns,
+                                                 data=data)})
