@@ -122,7 +122,15 @@ def main():
         model, variables, prompt, n_total, temperature=0.0))
     fast_rate = n_gen / dt_pallas
 
-    # --- lax.scan cached sampler (general path: batched, video) -----------
+    # --- batched kernel: aggregate chip throughput at B=8 ------------------
+    prompt8 = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, size=(8, rf)),
+        jnp.int32)
+    dt_b8 = timed(lambda: pallas_generate(
+        model, variables, prompt8, n_total, temperature=0.0))
+    b8_rate = 8 * n_gen / dt_b8
+
+    # --- lax.scan cached sampler (general path: any batch, video) ----------
     dt_scan = timed(lambda: fast_generate(
         model, variables, prompt, n_total, temperature=0.0))
     scan_rate = n_gen / dt_scan
@@ -142,6 +150,7 @@ def main():
         "vs_naive_same_chip": round(fast_rate / naive_rate, 2),
         "naive_same_chip_samples_per_sec": round(naive_rate, 2),
         "scan_sampler_samples_per_sec": round(scan_rate, 2),
+        "batched8_agg_samples_per_sec": round(b8_rate, 2),
         "train_steps_per_sec_breakdancing": round(
             _train_steps_per_sec(), 3),
     }))

@@ -7,31 +7,35 @@ and pays XLA while-loop step overhead.  This kernel keeps ALL weights
 and the per-layer dilation ring buffers resident in VMEM and runs the
 entire generation loop inside one ``pallas_call``:
 
-  * per step: front-embedding gather via a one-hot MXU matmul (no
-    scalar extraction), L unrolled gated-residual blocks as (1,R)x(R,2R)
-    VMEM matmuls, dilation ring buffers as dynamic row slices of one
-    packed (sum_dilations, R) scratch buffer, head matmuls, then greedy
-    argmax or Gumbel-max sampling from the on-core PRNG.
-  * prompt and output codes are packed as (ceil(T/128), 128) int32
-    tiles; per-step lane access is a vectorized select/insert against a
-    lane iota, so no scalar memory traffic and no 128x lane-padding
-    blowup.
-  * weights are stacked per-layer (L, R, 2R)/(L, R, R)/... so the
+  * per step: front-embedding gather via a one-hot MXU matmul, L
+    unrolled gated-residual blocks as (B,R)x(R,2R) VMEM matmuls,
+    dilation ring buffers as dynamic row-slab slices of one packed
+    (sum_dilations*B, R) scratch buffer, head matmuls, then greedy
+    argmax or Gumbel-max sampling from the on-core PRNG;
+  * batch lives in the sublane dimension (B in {1, 2, 4, 8}); prompt
+    and output codes are lane-packed int32 tiles (128/B timesteps per
+    row) with vectorized lane select/insert — no scalar memory traffic;
+    the two (B,1)<->(1,B) pivots per step are tiny (B,B) dot_generals,
+    not relayouts;
+  * video conditioning: the upsampled context features stream from HBM
+    through a double-buffered DMA ((CHUNK*B, R) slabs) and the per-layer
+    context projection is FOLDED into the tap matmul —
+    [h | past | ctx] (B,3R) @ (3R,2R) — so conditioning costs no extra
+    matmul issue, only the context-conv biases as a per-layer fg bias;
+  * weights are stacked per-layer (L, 2R|3R, 2R)/(L, R, R+S)/... so the
     kernel takes a handful of refs instead of 6*L.
-
-Restrictions (the scan sampler remains the general path): batch size 1,
-audio-only (no video conditioning).
 
 Sampling matches models/sampler.py exactly for temperature=0 (greedy).
 For temperature>0 a Gumbel-max draw replaces jax.random.categorical
 (same distribution, different RNG stream): parity mode perturbs
-softmax(logits)/T (the reference's double-softmax quirk), clean mode
-perturbs logits/T.
+softmax(logits)/T (the reference's double-softmax quirk,
+wavenet.py:227-233), clean mode perturbs logits/T.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,24 +46,48 @@ from jax.experimental.pallas import tpu as pltpu
 from movenet_tpu.models.wavenet import WaveNet
 
 _LANES = 128
+_CTX_CHUNK = 512  # timesteps of context per DMA slab
+
+_HI = jax.lax.Precision.HIGHEST
 
 
-def stack_sampler_params(model: WaveNet, variables) -> dict:
-    """Stack per-layer params into dense arrays for the kernel."""
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_HI)
+
+
+def stack_sampler_params(model: WaveNet, variables,
+                         with_context: bool = False) -> dict:
+    """Stack per-layer params into dense arrays for the kernel.
+
+    with_context=True builds (3R, 2R) tap matrices [cur; past; ctx] and
+    a per-layer fg bias from the context-conv biases; otherwise (2R, 2R)
+    taps and zero fg bias.
+    """
     p = variables["params"] if "params" in variables else variables
     ls = [p[f"block_{i}"] for i in range(len(model.dilations))]
+    r = model.residual_channels
 
     def f32(x):
         return jnp.asarray(x, jnp.float32)
 
+    if with_context:
+        w_fg = jnp.stack([
+            jnp.concatenate([f32(l["w_cur"]), f32(l["w_past"]),
+                             f32(l["context_proj"]["kernel"])], axis=0)
+            for l in ls])
+        b_fg = jnp.stack([f32(l["context_proj"]["bias"]) for l in ls])
+    else:
+        w_fg = jnp.stack([
+            jnp.concatenate([f32(l["w_cur"]), f32(l["w_past"])], axis=0)
+            for l in ls])
+        b_fg = jnp.zeros((len(ls), 2 * r), jnp.float32)
+
     return {
         "front_cur": f32(p["front_cur"]),
         "front_past": f32(p["front_past"]),
-        # fused per-layer weights: one (2R, 2R) tap matmul for [h|past]
-        # and one (R, R+S) output matmul for [residual|skip]
-        "w_fg": jnp.stack([
-            jnp.concatenate([f32(l["w_cur"]), f32(l["w_past"])], axis=0)
-            for l in ls]),
+        "w_fg": w_fg,
+        "b_fg": b_fg,
         "w_out": jnp.stack([
             jnp.concatenate([f32(l["residual_proj"]["kernel"]),
                              f32(l["skip_proj"]["kernel"])], axis=1)
@@ -76,110 +104,146 @@ def stack_sampler_params(model: WaveNet, variables) -> dict:
 
 
 def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
-                 s: int, temperature: float, parity_sampling: bool):
+                 s: int, batch: int, temperature: float,
+                 parity_sampling: bool, has_ctx: bool):
     offsets = np.concatenate([[0], np.cumsum(dilations)[:-1]]).tolist()
     n_layers = len(dilations)
+    group = _LANES // batch  # timesteps packed per int32 row
 
     def kernel(seed_ref,                      # SMEM (1,) int32
-               prompt_ref,                    # VMEM (ceil(rf/128), 128)
+               prompt_ref,                    # VMEM (rf, B) int32
                front_cur_ref, front_past_ref,
-               w_fg_ref, w_out_ref, b_out_ref,
+               w_fg_ref, b_fg_ref, w_out_ref, b_out_ref,
                h1_w_ref, h1_b_ref, h2_w_ref, h2_b_ref,
-               out_ref,                       # VMEM (ceil(T/128), 128)
-               buf_ref):                      # VMEM (sum_d, r) scratch
+               *rest):
+        if has_ctx:
+            (ctx_hbm, out_ref, buf_ref, ctx_buf_ref, ctx_sem) = rest
+        else:
+            (out_ref, buf_ref) = rest
+            ctx_hbm = ctx_buf_ref = ctx_sem = None
+
         if temperature > 0.0:
             pltpu.prng_seed(seed_ref[0])
         buf_ref[:, :] = jnp.zeros(buf_ref.shape, jnp.float32)
 
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, c_in), 1)
+        col_iota_f = jax.lax.broadcasted_iota(
+            jnp.int32, (batch, c_in), 1).astype(jnp.float32)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        eye_b = jnp.eye(batch, dtype=jnp.float32)
 
-        def onehot_row(code):
-            # code: (1, 1) int32 -> (1, C) one-hot f32
-            return (col_iota == code).astype(jnp.float32)
+        def col_to_row(col_f):   # (B,1) f32 -> (1,B) f32, via MXU
+            return jax.lax.dot_general(
+                col_f, eye_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+
+        def row_to_col(row_f):   # (1,B) f32 -> (B,1) f32
+            return jax.lax.dot_general(
+                eye_b, row_f, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI)
+
+        def ctx_dma(chunk_idx, slot):
+            rows = _CTX_CHUNK * batch
+            return pltpu.make_async_copy(
+                ctx_hbm.at[pl.ds(chunk_idx * rows, rows), :],
+                ctx_buf_ref.at[pl.ds(slot * rows, rows), :],
+                ctx_sem.at[slot],
+            )
+
+        if has_ctx:
+            ctx_dma(0, 0).start()
 
         def step(t, carry):
-            prev_code, cur_code, out_row = carry
-            lane = jax.lax.rem(t, _LANES)
+            prev_oh, cur_col_f, out_row = carry
+            # ---- input code at position t (as a (B,1) float column)
             tc = jnp.minimum(t, rf - 1)
-            prow = prompt_ref[pl.ds(tc // _LANES, 1), :]     # (1, 128)
-            prompt_t = jnp.sum(
-                jnp.where(lane_iota == jax.lax.rem(tc, _LANES), prow, 0),
-                axis=1, keepdims=True)                       # (1, 1)
-            code_t = jnp.where(t < rf, prompt_t, cur_code)
+            prow = prompt_ref[pl.ds(tc, 1), :].astype(jnp.float32)
+            prompt_col = row_to_col(prow)                   # (B,1)
+            code_col_f = jnp.where(t < rf, prompt_col, cur_col_f)
+            code_oh = (col_iota_f == code_col_f).astype(jnp.float32)
 
-            h = jnp.dot(onehot_row(code_t), front_cur_ref[:, :],
-                        preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)   # (1, R)
-            h_prev = jnp.dot(onehot_row(prev_code), front_past_ref[:, :],
-                             preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-            h = jnp.where(t > 0, h + h_prev, h)
+            h = _dot(code_oh, front_cur_ref[:, :])          # (B, R)
+            h = jnp.where(t > 0, h + _dot(prev_oh, front_past_ref[:, :]),
+                          h)
 
-            skip_sum = jnp.zeros((1, s), jnp.float32)
+            # ---- context features for step t (double-buffered DMA)
+            if has_ctx:
+                chunk = t // _CTX_CHUNK
+                slot = jax.lax.rem(chunk, 2)
+                within = jax.lax.rem(t, _CTX_CHUNK)
+
+                @pl.when(within == 0)
+                def _():
+                    ctx_dma(chunk, slot).wait()
+                    nxt = chunk + 1
+                    @pl.when(nxt * _CTX_CHUNK < n_samples)
+                    def _():
+                        ctx_dma(nxt, jax.lax.rem(nxt, 2)).start()
+
+                ctx_row = ctx_buf_ref[
+                    pl.ds((slot * _CTX_CHUNK + within) * batch, batch), :]
+                ctx_t = ctx_row[:, :r]   # strip the 128-lane DMA padding
+            else:
+                ctx_t = None
+
+            skip_sum = jnp.zeros((batch, s), jnp.float32)
             for l in range(n_layers):
                 d = dilations[l]
-                slot = offsets[l] + jax.lax.rem(t, d)
-                past = buf_ref[pl.ds(slot, 1), :]             # (1, R)
-                hp = jnp.concatenate([h, past], axis=1)       # (1, 2R)
-                fg = jnp.dot(hp, w_fg_ref[l],
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                slot_l = (offsets[l] + jax.lax.rem(t, d)) * batch
+                past = buf_ref[pl.ds(slot_l, batch), :]      # (B, R)
+                hp = jnp.concatenate(
+                    [h, past] + ([ctx_t] if has_ctx else []), axis=1)
+                fg = _dot(hp, w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
                 gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
-                out = jnp.dot(gated, w_out_ref[l],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST) \
+                out = _dot(gated, w_out_ref[l]) \
                     + b_out_ref[pl.ds(l, 1), :]
                 skip_sum = skip_sum + out[:, r:]
-                buf_ref[pl.ds(slot, 1), :] = h
+                buf_ref[pl.ds(slot_l, batch), :] = h
                 h = out[:, :r] + h
 
-            y = jnp.dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :],
-                        preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST) \
+            y = _dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :]) \
                 + h1_b_ref[pl.ds(0, 1), :]
-            logits = jnp.dot(jax.nn.leaky_relu(y), h2_w_ref[:, :],
-                             preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST) \
-                + h2_b_ref[pl.ds(0, 1), :]                    # (1, C)
+            logits = _dot(jax.nn.leaky_relu(y), h2_w_ref[:, :]) \
+                + h2_b_ref[pl.ds(0, 1), :]                   # (B, C)
 
             if temperature == 0.0:
                 scores = logits
             else:
                 if parity_sampling:
-                    # reference quirk: perturb softmax(logits)/T
                     scores = jax.nn.softmax(logits, -1) / temperature
                 else:
                     scores = logits / temperature
-                bits = pltpu.prng_random_bits((1, c_in))
-                # Mosaic lacks uint32->f32; route through int32 (the
-                # top 24 bits fit losslessly)
-                b24 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 8,
-                                    jnp.int32)
+                bits = pltpu.prng_random_bits((batch, c_in))
+                b24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
                 u = b24.astype(jnp.float32) * (1.0 / (1 << 24))
                 scores = scores - jnp.log(-jnp.log(u + 1e-20) + 1e-20)
             # manual argmax (first max index): Mosaic cannot lower
             # jnp.argmax's f32->i32 vector materialization
             m = jnp.max(scores, axis=-1, keepdims=True)
-            cand = jnp.where(scores == m, col_iota, c_in)
-            nxt = jnp.min(cand, axis=-1, keepdims=True).astype(jnp.int32)
+            cand = jnp.where(scores == m, col_iota_f, float(c_in))
+            nxt_col_f = jnp.min(cand, axis=-1, keepdims=True)  # (B,1)
 
-            # lane-insert the consumed code into the staging row; flush
-            # the row every 128 steps and at the end
-            out_row = jnp.where(lane_iota == lane, code_t, out_row)
+            # ---- lane-pack the consumed code into the staging row
+            pos = jax.lax.rem(t, group)
+            code_row = col_to_row(code_col_f).astype(jnp.int32)  # (1,B)
+            tiled = pltpu.repeat(code_row, group, axis=1)        # (1,128)
+            mask = (lane_iota >= pos * batch) & \
+                   (lane_iota < (pos + 1) * batch)
+            out_row = jnp.where(mask, tiled, out_row)
 
-            @pl.when(jnp.logical_or(lane == _LANES - 1,
+            @pl.when(jnp.logical_or(pos == group - 1,
                                     t == n_samples - 1))
             def _():
-                out_ref[pl.ds(t // _LANES, 1), :] = out_row
+                out_ref[pl.ds(t // group, 1), :] = out_row
 
-            out_row = jnp.where(lane == _LANES - 1,
+            out_row = jnp.where(pos == group - 1,
                                 jnp.zeros_like(out_row), out_row)
-            return (code_t, nxt, out_row)
+            return (code_oh, nxt_col_f, out_row)
 
-        zero = jnp.zeros((1, 1), jnp.int32)
-        zrow = jnp.zeros((1, _LANES), jnp.int32)
-        jax.lax.fori_loop(0, n_samples, step, (zero, zero, zrow))
+        carry = (jnp.zeros((batch, c_in), jnp.float32),
+                 jnp.zeros((batch, 1), jnp.float32),
+                 jnp.zeros((1, _LANES), jnp.int32))
+        jax.lax.fori_loop(0, n_samples, step, carry)
 
     return kernel
 
@@ -192,52 +256,83 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
 def pallas_generate(
     model: WaveNet,
     variables,
-    prompt_codes: jnp.ndarray,     # (1, >=RF) int32
+    prompt_codes: jnp.ndarray,     # (B, >=RF) int32, B in {1,2,4,8}
     n_samples: int,
     temperature: float = 0.0,
     seed: int = 0,
+    video: Optional[jnp.ndarray] = None,
     parity_sampling: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Generate (1, n_samples) mu-law codes with the VMEM-resident
-    kernel.  See module docstring for restrictions."""
+    """Generate (B, n_samples) mu-law codes with the VMEM-resident
+    kernel.  Supports batch in {1, 2, 4, 8} and optional video
+    conditioning (context streamed from HBM)."""
     rf = model.receptive_fields
     if n_samples <= rf:
         raise ValueError(f"n_samples ({n_samples}) must exceed RF ({rf})")
-    if prompt_codes.shape[0] != 1:
-        raise ValueError("pallas sampler is specialized to batch=1; "
-                         "use fast_generate for batched generation")
+    batch = prompt_codes.shape[0]
+    if batch not in (1, 2, 4, 8):
+        raise ValueError(
+            f"pallas sampler supports batch in {{1,2,4,8}}, got {batch}; "
+            "use fast_generate for other batch sizes")
 
     dil = model.dilations
     sum_d = int(np.sum(dil))
     c_in, r, s = (model.input_channels, model.residual_channels,
                   model.skip_channels)
 
-    sp = stack_sampler_params(model, variables)
-    prompt = prompt_codes[0, :rf].astype(jnp.int32)
-    rf_pad = -(-rf // _LANES) * _LANES
-    prompt = jnp.pad(prompt, (0, rf_pad - rf)).reshape(-1, _LANES)
-    out_rows = -(-n_samples // _LANES)
+    has_ctx = video is not None
+    sp = stack_sampler_params(model, variables, with_context=has_ctx)
+    prompt = prompt_codes[:, :rf].astype(jnp.int32).T   # (rf, B)
+    group = _LANES // batch
+    out_rows = -(-n_samples // group)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
-    kernel = _make_kernel(dil, rf, n_samples, c_in, r, s,
-                          float(temperature), parity_sampling)
+    inputs = [seed_arr, prompt,
+              sp["front_cur"], sp["front_past"], sp["w_fg"], sp["b_fg"],
+              sp["w_out"], sp["b_out"], sp["h1_w"], sp["h1_b"],
+              sp["h2_w"], sp["h2_b"]]
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 11
+    scratch = [pltpu.VMEM((sum_d * batch, r), jnp.float32)]
+
+    if has_ctx:
+        ctx = model.apply(variables, video, method=WaveNet.encode_video)
+        ctx = ctx.astype(jnp.float32)          # (B, T_ctx, R)
+        t_pad = -(-n_samples // _CTX_CHUNK) * _CTX_CHUNK
+        if ctx.shape[1] < t_pad:
+            ctx = jnp.pad(ctx, ((0, 0), (0, t_pad - ctx.shape[1]),
+                                (0, 0)))
+        ctx = ctx[:, :t_pad]
+        # row-major by (time, batch): row t*B + b.  DMA slabs must be
+        # 128-lane aligned, so the feature dim is padded to 128.
+        r_pad = -(-r // _LANES) * _LANES
+        ctx_tb = jnp.swapaxes(ctx, 0, 1).reshape(t_pad * batch, r)
+        ctx_tb = jnp.pad(ctx_tb, ((0, 0), (0, r_pad - r)))
+        inputs.append(ctx_tb)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        scratch = [
+            pltpu.VMEM((sum_d * batch, r), jnp.float32),
+            pltpu.VMEM((2 * _CTX_CHUNK * batch, r_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+    kernel = _make_kernel(dil, rf, n_samples, c_in, r, s, batch,
+                          float(temperature), parity_sampling, has_ctx)
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((out_rows, _LANES), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            *([vmem] * 10),                          # prompt + params
-        ],
+        in_specs=in_specs,
         out_specs=vmem,
-        scratch_shapes=[pltpu.VMEM((sum_d, r), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed_arr, prompt,
-      sp["front_cur"], sp["front_past"], sp["w_fg"], sp["w_out"],
-      sp["b_out"], sp["h1_w"], sp["h1_b"], sp["h2_w"], sp["h2_b"])
-    return out.reshape(1, out_rows * _LANES)[:, :n_samples]
+    )(*inputs)
+    # unpack lanes: row r, lane p*B+b  ->  (b, r*group + p)
+    codes = out.reshape(out_rows, group, batch)
+    codes = jnp.transpose(codes, (2, 0, 1)).reshape(batch, -1)
+    return codes[:, :n_samples]

@@ -41,12 +41,51 @@ def test_pallas_greedy_matches_scan_sampler(layer, stack, rng_np):
     np.testing.assert_array_equal(got, want)
 
 
-def test_pallas_rejects_batches_and_short_n(rng_np):
+def test_pallas_batched_matches_scan_sampler(rng_np):
+    model, variables = _model()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(4, rf)), jnp.int32)
+    n = rf + 96
+    want = np.asarray(fast_generate(model, variables, prompt, n,
+                                    temperature=0.0))
+    got = np.asarray(pallas_generate(model, variables, prompt, n,
+                                     temperature=0.0, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_video_conditioned_matches_scan_sampler(rng_np):
+    import jax
+    from movenet_tpu.models.wavenet import WaveNet as WN
+
+    from movenet_tpu.config import ModelConfig
+    from movenet_tpu.models.wavenet import make_wavenet
+
+    cfg = ModelConfig(layer_size=3, stack_size=1, input_channels=32,
+                      residual_channels=16, skip_channels=16,
+                      compute_dtype="float32",
+                      max_audio_frames=1000, max_video_frames=1)
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(2, rf)), jnp.int32)
+    video = jnp.asarray(rng_np.standard_normal((2, 1, 16, 16, 1)),
+                        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), prompt, video,
+                           method=WN.init_all)
+    n = rf + 80
+    want = np.asarray(fast_generate(model, variables, prompt, n,
+                                    temperature=0.0, video=video))
+    got = np.asarray(pallas_generate(model, variables, prompt, n,
+                                     temperature=0.0, video=video,
+                                     interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_rejects_bad_batches_and_short_n(rng_np):
     model, variables = _model()
     rf = model.receptive_fields
     with pytest.raises(ValueError):
         pallas_generate(model, variables,
-                        jnp.zeros((2, rf), jnp.int32), rf + 10,
+                        jnp.zeros((3, rf), jnp.int32), rf + 10,
                         interpret=True)
     with pytest.raises(ValueError):
         pallas_generate(model, variables,
@@ -58,7 +97,8 @@ def test_stacked_params_shapes():
     model, variables = _model(layer=3, stack=2, c=32, r=16, s=16)
     sp = stack_sampler_params(model, variables)
     n_layers = len(model.dilations)
-    assert sp["w_fg"].shape == (n_layers, 32, 32)
+    assert sp["w_fg"].shape == (n_layers, 32, 32)   # [cur; past]
+    assert sp["b_fg"].shape == (n_layers, 32)       # zeros w/o context
     assert sp["w_out"].shape == (n_layers, 16, 32)
     assert sp["b_out"].shape == (n_layers, 32)
     assert sp["front_cur"].shape == (32, 16)
