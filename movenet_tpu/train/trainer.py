@@ -41,6 +41,71 @@ from movenet_tpu.utils.samples import export_samples
 logger = logging.getLogger(__name__)
 
 
+class PreemptionGuard:
+    """Graceful preemption handling (the failure-tolerance piece the
+    reference delegated to grid.ai spot auto-resume, SURVEY §5.3):
+    SIGTERM/SIGINT set a flag; the epoch loop checkpoints and exits
+    cleanly at the next step boundary, and --auto_resume continues the
+    run after rescheduling."""
+
+    def __init__(self, install: bool = True):
+        import signal
+
+        self.requested = False
+        self._prev = {}
+        if not install:
+            return
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return  # signals only installable from the main thread
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+
+    def _handler(self, signum, frame):
+        logger.warning("received signal %s: will checkpoint and exit "
+                       "at the next step boundary", signum)
+        self.requested = True
+
+    def restore(self):
+        import signal
+
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+
+
+def _device_prefetch(batches, mesh, depth: int = 2):
+    """Move host batches onto the mesh one step ahead of compute so the
+    H2D transfer overlaps the previous train step."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(shard_batch(mesh, b))
+        except Exception as e:  # surface on the consumer side
+            q.put(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
 def _mean_metrics(metrics_list) -> Dict[str, float]:
     if not metrics_list:
         return {}
@@ -131,19 +196,27 @@ def train_model(
         eval_step = make_parallel_eval_step(model, config, mesh,
                                             has_video=has_video)
         timer = StepTimer()
+        guard = PreemptionGuard()
 
         for epoch in range(start_epoch, config.n_epochs):
             t_epoch = time.perf_counter()
             train_metrics = []
-            for i, batch in enumerate(train_loader.epoch(epoch)):
-                if i >= steps_per_epoch:
+            for i, batch in enumerate(
+                    _device_prefetch(train_loader.epoch(epoch), mesh)):
+                if i >= steps_per_epoch or guard.requested:
                     break
-                state, metrics = train_step(state, shard_batch(mesh,
-                                                               batch))
+                state, metrics = train_step(state, batch)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 metrics.update(timer.tick())
                 train_metrics.append(metrics)
                 writer.scalars("train", metrics, int(state.step))
+
+            if guard.requested:
+                if jax.process_index() == 0:
+                    logger.warning("preempted: checkpointing at epoch %d",
+                                   epoch)
+                    ckpt.save(epoch, state)
+                break
 
             val_metrics = []
             for batch in val_loader.epoch(epoch):
@@ -176,6 +249,7 @@ def train_model(
                 ckpt.save(epoch, state)
             sync_global_devices(f"epoch_{epoch}")
 
+    guard.restore()
     ckpt.wait()
     ckpt.close()
     writer.close()

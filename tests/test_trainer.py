@@ -130,3 +130,56 @@ def test_auto_resume(dataset_root, tmp_path, monkeypatch):
     # resumed run starts after epoch 1 -> epochs already done, so the
     # step count should not restart from zero
     assert int(state2.step) >= s1
+
+
+def test_preemption_checkpoints_and_exits(dataset_root, tmp_path,
+                                          monkeypatch):
+    """SIGTERM-style preemption: the loop checkpoints and exits at the
+    next step boundary (exercised by flipping the guard flag)."""
+    import movenet_tpu.train.trainer as T
+    import movenet_tpu.config as C
+
+    class InstantPreempt(T.PreemptionGuard):
+        def __init__(self, install=True):
+            super().__init__(install=False)
+            self.steps = 0
+
+        @property
+        def requested(self):
+            self.steps += 1
+            return self.steps > 2  # allow ~1 step then preempt
+
+        @requested.setter
+        def requested(self, v):
+            pass
+
+    monkeypatch.setattr(T, "PreemptionGuard", InstantPreempt)
+
+    orig = C.config_from_args
+
+    def patched(args):
+        cfg = orig(args)
+        cfg.model_config.max_audio_frames = 2000
+        cfg.model_config.max_video_frames = 2
+        cfg.use_video = False
+        return cfg
+
+    monkeypatch.setattr(C, "config_from_args", patched)
+    monkeypatch.setattr("movenet_tpu.train.cli.config_from_args", patched)
+
+    from movenet_tpu.train.cli import main
+
+    out, logs = tmp_path / "m", tmp_path / "l"
+    args = _args(dataset_root, out, logs, extra=["--use_video", "0",
+                                                 "--n_epochs", "50"])
+    i = args.index("--log_samples_every")
+    args = args[:i] + args[i + 2:]
+    i = args.index("--n_epochs")  # drop the duplicate from _args
+    state = main(args)
+    # preempted long before 50 epochs; checkpoint written
+    from movenet_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(out)
+    assert mgr.latest_step() is not None
+    mgr.close()
+    assert int(state.step) < 50
