@@ -111,7 +111,8 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
     group = _LANES // batch  # timesteps packed per int32 row
 
     def kernel(seed_ref,                      # SMEM (1,) int32
-               prompt_ref,                    # VMEM (rf, B) int32
+               init_codes_ref,                # VMEM (2, B) int32
+               buf_init_ref,                  # VMEM (sum_d*B, R) f32
                front_cur_ref, front_past_ref,
                w_fg_ref, b_fg_ref, w_out_ref, b_out_ref,
                h1_w_ref, h1_b_ref, h2_w_ref, h2_b_ref,
@@ -124,7 +125,8 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
 
         if temperature > 0.0:
             pltpu.prng_seed(seed_ref[0])
-        buf_ref[:, :] = jnp.zeros(buf_ref.shape, jnp.float32)
+        # warm start: ring buffers pre-filled by the parallel prompt pass
+        buf_ref[:, :] = buf_init_ref[:, :]
 
         col_iota_f = jax.lax.broadcasted_iota(
             jnp.int32, (batch, c_in), 1).astype(jnp.float32)
@@ -150,34 +152,33 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
             )
 
         if has_ctx:
-            ctx_dma(0, 0).start()
+            ctx_dma(rf // _CTX_CHUNK, 0).start()
 
         def step(t, carry):
             prev_oh, cur_col_f, out_row = carry
-            # ---- input code at position t (as a (B,1) float column)
-            tc = jnp.minimum(t, rf - 1)
-            prow = prompt_ref[pl.ds(tc, 1), :].astype(jnp.float32)
-            prompt_col = row_to_col(prow)                   # (B,1)
-            code_col_f = jnp.where(t < rf, prompt_col, cur_col_f)
+            # input at position t is always the carried sample (the
+            # prompt was consumed by the parallel warm-start pass)
+            code_col_f = cur_col_f
             code_oh = (col_iota_f == code_col_f).astype(jnp.float32)
 
-            h = _dot(code_oh, front_cur_ref[:, :])          # (B, R)
-            h = jnp.where(t > 0, h + _dot(prev_oh, front_past_ref[:, :]),
-                          h)
+            h = _dot(code_oh, front_cur_ref[:, :]) \
+                + _dot(prev_oh, front_past_ref[:, :])       # (B, R)
 
             # ---- context features for step t (double-buffered DMA)
             if has_ctx:
                 chunk = t // _CTX_CHUNK
-                slot = jax.lax.rem(chunk, 2)
+                slot = jax.lax.rem(chunk - rf // _CTX_CHUNK, 2)
                 within = jax.lax.rem(t, _CTX_CHUNK)
 
-                @pl.when(within == 0)
+                @pl.when(jnp.logical_or(within == 0, t == rf))
                 def _():
                     ctx_dma(chunk, slot).wait()
                     nxt = chunk + 1
                     @pl.when(nxt * _CTX_CHUNK < n_samples)
                     def _():
-                        ctx_dma(nxt, jax.lax.rem(nxt, 2)).start()
+                        ctx_dma(nxt,
+                                jax.lax.rem(nxt - rf // _CTX_CHUNK, 2)
+                                ).start()
 
                 ctx_row = ctx_buf_ref[
                     pl.ds((slot * _CTX_CHUNK + within) * batch, batch), :]
@@ -224,7 +225,7 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
             nxt_col_f = jnp.min(cand, axis=-1, keepdims=True)  # (B,1)
 
             # ---- lane-pack the consumed code into the staging row
-            pos = jax.lax.rem(t, group)
+            pos = jax.lax.rem(t - rf, group)
             code_row = col_to_row(code_col_f).astype(jnp.int32)  # (1,B)
             tiled = pltpu.repeat(code_row, group, axis=1)        # (1,128)
             mask = (lane_iota >= pos * batch) & \
@@ -234,16 +235,19 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
             @pl.when(jnp.logical_or(pos == group - 1,
                                     t == n_samples - 1))
             def _():
-                out_ref[pl.ds(t // group, 1), :] = out_row
+                out_ref[pl.ds((t - rf) // group, 1), :] = out_row
 
             out_row = jnp.where(pos == group - 1,
                                 jnp.zeros_like(out_row), out_row)
             return (code_oh, nxt_col_f, out_row)
 
-        carry = (jnp.zeros((batch, c_in), jnp.float32),
-                 jnp.zeros((batch, 1), jnp.float32),
+        prev_row = init_codes_ref[pl.ds(0, 1), :].astype(jnp.float32)
+        cur_row = init_codes_ref[pl.ds(1, 1), :].astype(jnp.float32)
+        prev_col_f = row_to_col(prev_row)
+        prev_oh0 = (col_iota_f == prev_col_f).astype(jnp.float32)
+        carry = (prev_oh0, row_to_col(cur_row),
                  jnp.zeros((1, _LANES), jnp.int32))
-        jax.lax.fori_loop(0, n_samples, step, carry)
+        jax.lax.fori_loop(rf, n_samples, step, carry)
 
     return kernel
 
@@ -283,23 +287,46 @@ def pallas_generate(
 
     has_ctx = video is not None
     sp = stack_sampler_params(model, variables, with_context=has_ctx)
-    prompt = prompt_codes[:, :rf].astype(jnp.int32).T   # (rf, B)
+    prompt = prompt_codes[:, :rf].astype(jnp.int32)     # (B, rf)
     group = _LANES // batch
-    out_rows = -(-n_samples // group)
+    out_rows = -(-(n_samples - rf) // group)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
-    inputs = [seed_arr, prompt,
+    ctx = None
+    if has_ctx:
+        ctx = model.apply(variables, video, method=WaveNet.encode_video)
+        ctx = ctx.astype(jnp.float32)          # (B, T_ctx, R)
+
+    # ---- warm start: parallel prompt pass fills the ring buffers and
+    # yields the logits for the first generated position
+    ctx_prompt = None if ctx is None else ctx[:, :rf]
+    buffers, last_logits = model.apply(
+        variables, prompt, ctx_prompt, method=WaveNet.prompt_state)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), rf - 1)
+    if temperature == 0.0:
+        first = jnp.argmax(last_logits, axis=-1)
+    elif parity_sampling:
+        probs = jax.nn.softmax(last_logits, axis=-1)
+        first = jax.random.categorical(key, probs / temperature, axis=-1)
+    else:
+        first = jax.random.categorical(key, last_logits / temperature,
+                                       axis=-1)
+    init_codes = jnp.stack(
+        [prompt[:, -1], first.astype(jnp.int32)])        # (2, B)
+    buf_init = jnp.concatenate(
+        [jnp.swapaxes(b.astype(jnp.float32), 0, 1).reshape(-1, r)
+         for b in buffers], axis=0)                      # (sum_d*B, R)
+
+    inputs = [seed_arr, init_codes, buf_init,
               sp["front_cur"], sp["front_past"], sp["w_fg"], sp["b_fg"],
               sp["w_out"], sp["b_out"], sp["h1_w"], sp["h1_b"],
               sp["h2_w"], sp["h2_b"]]
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 11
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 12
     scratch = [pltpu.VMEM((sum_d * batch, r), jnp.float32)]
 
     if has_ctx:
-        ctx = model.apply(variables, video, method=WaveNet.encode_video)
-        ctx = ctx.astype(jnp.float32)          # (B, T_ctx, R)
         t_pad = -(-n_samples // _CTX_CHUNK) * _CTX_CHUNK
         if ctx.shape[1] < t_pad:
             ctx = jnp.pad(ctx, ((0, 0), (0, t_pad - ctx.shape[1]),
@@ -332,7 +359,7 @@ def pallas_generate(
         ),
         interpret=interpret,
     )(*inputs)
-    # unpack lanes: row r, lane p*B+b  ->  (b, r*group + p)
-    codes = out.reshape(out_rows, group, batch)
-    codes = jnp.transpose(codes, (2, 0, 1)).reshape(batch, -1)
-    return codes[:, :n_samples]
+    # unpack lanes: row r, lane p*B+b  ->  (b, rf + r*group + p)
+    gen = out.reshape(out_rows, group, batch)
+    gen = jnp.transpose(gen, (2, 0, 1)).reshape(batch, -1)
+    return jnp.concatenate([prompt, gen], axis=1)[:, :n_samples]
