@@ -36,6 +36,13 @@ class ModelConfig:
     max_audio_frames: int = 160_000
     max_video_frames: int = 160
 
+    # Global (dance-category) conditioning: number of classes for the
+    # learned global embedding; 0 disables.  The reference planned this
+    # but never built it (wavenet.py:73 "🚧 add global conditioning");
+    # the dataset layer has always produced the category labels
+    # (dataset.py:117-119 "use the class label as global context").
+    global_classes: int = 0
+
     # --- behavior flags -------------------------------------------------
     # The reference's forward returns softmax probabilities by default and
     # computes cross-entropy on those probabilities (wavenet.py:189-191,
@@ -262,6 +269,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_channels", type=int, default=8)
     p.add_argument("--layer_size", type=int, default=3)
     p.add_argument("--stack_size", type=int, default=3)
+    p.add_argument("--global_classes", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     # distributed (reference flags kept; TPU-native additions below)
     p.add_argument("--dist_backend", type=str, default=None)
@@ -320,6 +328,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
             compute_dtype=args.compute_dtype,
             parity_softmax_output=args.parity_softmax_output,
             remat=args.remat,
+            global_classes=args.global_classes,
         ),
         mesh=MeshConfig(data=args.mesh_data, seq=args.mesh_seq),
         batch_size=args.batch_size,

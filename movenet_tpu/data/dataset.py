@@ -58,6 +58,7 @@ class Example:
     codes: Optional[np.ndarray]   # (T,) int32 mu-law codes
     video: Optional[np.ndarray]   # (F, 64, 64, 1) float32 (0..255 scale)
     info: Dict
+    label: int = 0                # class id (index into contexts)
 
 
 @dataclass
@@ -71,6 +72,12 @@ class ClipIndex:
     @property
     def contexts(self) -> List[str]:
         return sorted({e.context for e in self.entries})
+
+    @property
+    def context_to_id(self) -> Dict[str, int]:
+        """Stable category -> class-id mapping (the dataset's class
+        labels double as the global conditioning ids)."""
+        return {c: i for i, c in enumerate(self.contexts)}
 
     @property
     def class_balance(self) -> Dict[str, float]:

@@ -65,6 +65,7 @@ class DataLoader:
         max_audio_frames: int = MAX_AUDIO_FRAMES,
         max_video_frames: int = MAX_VIDEO_FRAMES,
         prefetch_batches: int = 2,
+        context_to_id=None,
     ):
         if len(index) == 0:
             raise ValueError(f"empty dataset index under {index.root}")
@@ -82,6 +83,10 @@ class DataLoader:
         self.max_audio_frames = max_audio_frames
         self.max_video_frames = max_video_frames
         self.prefetch_batches = prefetch_batches
+        # class-id mapping should come from the FULL (unsharded) index so
+        # ids are consistent across processes; get_dataloader passes it
+        self.context_to_id = (context_to_id if context_to_id is not None
+                              else index.context_to_id)
 
     # ------------------------------------------------------------- sizes
     @property
@@ -116,7 +121,8 @@ class DataLoader:
             video = preprocess_video(
                 clip.video, num_frames=self.max_video_frames)
         return Example(meta.context, meta.filepath, codes, video,
-                       clip.info)
+                       clip.info,
+                       label=self.context_to_id.get(meta.context, 0))
 
     # -------------------------------------------------------------- crop
     def _crop(self, codes: np.ndarray, video: Optional[np.ndarray],
@@ -193,6 +199,7 @@ class DataLoader:
 
     def _assemble(self, group: List[Example], rng: random.Random) -> Batch:
         codes = np.stack([ex.codes for ex in group]).astype(np.int32)
+        labels = np.asarray([ex.label for ex in group], np.int32)
         video = None
         if self.use_video:
             video = np.stack([ex.video for ex in group])
@@ -200,9 +207,10 @@ class DataLoader:
         a = self.accumulation_steps
         if a > 1:
             codes = codes.reshape(a, self.batch_size, *codes.shape[1:])
+            labels = labels.reshape(a, self.batch_size)
             if video is not None:
                 video = video.reshape(a, self.batch_size, *video.shape[1:])
-        return Batch(codes=codes, video=video)
+        return Batch(codes=codes, video=video, labels=labels)
 
     def meta_batches(self) -> Iterator[List[Example]]:
         """Raw Example groups (for sample-export callbacks that need
@@ -233,10 +241,12 @@ def get_dataloader(
     """Reference-shaped factory (dataset.py:59-98): scans the dataset
     tree, shards the index per JAX process, returns a DataLoader."""
     index = kinetics_index(filepath, train=train)
+    context_to_id = index.context_to_id  # before sharding: global ids
     if process_count > 1:
         index = index.shard(process_index, process_count)
     return DataLoader(
         index=index,
+        context_to_id=context_to_id,
         input_channels=input_channels,
         batch_size=batch_size,
         use_video=use_video,

@@ -63,6 +63,7 @@ def generate_from_checkpoint(
 
     # prompts: validation clips when a dataset is given, else silence
     video = None
+    labels = None
     if dataset_fp:
         from movenet_tpu.data.pipeline import get_dataloader
 
@@ -76,6 +77,8 @@ def generate_from_checkpoint(
         prompt = jnp.asarray(batch.codes[:, :rf])
         if use_video and batch.video is not None:
             video = jnp.asarray(batch.video)
+        if model.global_classes and batch.labels is not None:
+            labels = jnp.asarray(batch.labels)
     else:
         from movenet_tpu.ops import mu_law_encode
 
@@ -95,14 +98,16 @@ def generate_from_checkpoint(
                 checkpoint_dir)
 
     t0 = time.perf_counter()
-    if prompt.shape[0] == 1 and video is None:
+    if prompt.shape[0] in (1, 2, 4, 8):
         codes = pallas_generate(model, variables, prompt, n,
                                 temperature=temperature, seed=seed,
+                                video=video, labels=labels,
                                 parity_sampling=parity_sampling)
     else:
         codes = fast_generate(model, variables, prompt, n,
                               temperature=temperature,
                               rng=jax.random.PRNGKey(seed), video=video,
+                              labels=labels,
                               parity_sampling=parity_sampling)
     codes = np.asarray(codes)
     dt = time.perf_counter() - t0

@@ -193,7 +193,8 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                 past = buf_ref[pl.ds(slot_l, batch), :]      # (B, R)
                 hp = jnp.concatenate(
                     [h, past] + ([ctx_t] if has_ctx else []), axis=1)
-                fg = _dot(hp, w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
+                fg = _dot(hp, w_fg_ref[l]) \
+                    + b_fg_ref[pl.ds(l * batch, batch), :]
                 gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
                 out = _dot(gated, w_out_ref[l]) \
                     + b_out_ref[pl.ds(l, 1), :]
@@ -266,6 +267,7 @@ def pallas_generate(
     seed: int = 0,
     video: Optional[jnp.ndarray] = None,
     parity_sampling: bool = True,
+    labels: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Generate (B, n_samples) mu-law codes with the VMEM-resident
@@ -297,11 +299,33 @@ def pallas_generate(
         ctx = model.apply(variables, video, method=WaveNet.encode_video)
         ctx = ctx.astype(jnp.float32)          # (B, T_ctx, R)
 
+    # ---- global (category) conditioning: time-invariant per-layer
+    # shifts folded into the per-(layer, batch) fg bias rows
+    b_fg = jnp.broadcast_to(sp["b_fg"][:, None, :],
+                            (sp["b_fg"].shape[0], batch,
+                             sp["b_fg"].shape[1]))
+    global_vec = None
+    if labels is not None and model.global_classes:
+        global_vec = model.apply(
+            variables, labels, method=WaveNet.embed_global)
+        global_vec = global_vec.astype(jnp.float32)
+        p = variables["params"] if "params" in variables else variables
+        shifts = jnp.stack([
+            jnp.dot(global_vec,
+                    jnp.asarray(p[f"block_{i}"]["global_proj"]["kernel"],
+                                jnp.float32),
+                    precision=_HI)
+            for i in range(len(model.dilations))])       # (L, B, 2R)
+        b_fg = b_fg + shifts
+    sp = dict(sp)
+    sp["b_fg"] = b_fg.reshape(-1, b_fg.shape[-1])        # (L*B, 2R)
+
     # ---- warm start: parallel prompt pass fills the ring buffers and
     # yields the logits for the first generated position
     ctx_prompt = None if ctx is None else ctx[:, :rf]
     buffers, last_logits = model.apply(
-        variables, prompt, ctx_prompt, method=WaveNet.prompt_state)
+        variables, prompt, ctx_prompt, global_vec,
+        method=WaveNet.prompt_state)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), rf - 1)
     if temperature == 0.0:
         first = jnp.argmax(last_logits, axis=-1)

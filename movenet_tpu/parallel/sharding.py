@@ -39,17 +39,21 @@ def batch_sharding(mesh: Mesh, accumulation: bool,
     if accumulation:
         codes = P(None, DATA_AXIS, t_axis)
         video = P(None, DATA_AXIS, None, None, None, None)
+        labels = P(None, DATA_AXIS)
     else:
         codes = P(DATA_AXIS, t_axis)
         video = P(DATA_AXIS, None, None, None, None)
-    return Batch(codes=codes, video=video)
+        labels = P(DATA_AXIS)
+    return Batch(codes=codes, video=video, labels=labels)
 
 
 def _to_shardings(mesh: Mesh, batch: Batch, spec: Batch) -> Batch:
     codes = NamedSharding(mesh, spec.codes)
     video = None if batch.video is None else \
         NamedSharding(mesh, spec.video)
-    return Batch(codes=codes, video=video)
+    labels = None if batch.labels is None else \
+        NamedSharding(mesh, spec.labels)
+    return Batch(codes=codes, video=video, labels=labels)
 
 
 def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
@@ -67,12 +71,18 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
         if batch.video is not None:
             video = multihost_utils.host_local_array_to_global_array(
                 batch.video, mesh, spec.video)
-        return Batch(codes=codes, video=video)
+        labels = None
+        if batch.labels is not None:
+            labels = multihost_utils.host_local_array_to_global_array(
+                batch.labels, mesh, spec.labels)
+        return Batch(codes=codes, video=video, labels=labels)
     sh = _to_shardings(mesh, batch, spec)
     codes = jax.device_put(batch.codes, sh.codes)
     video = None if batch.video is None else \
         jax.device_put(batch.video, sh.video)
-    return Batch(codes=codes, video=video)
+    labels = None if batch.labels is None else \
+        jax.device_put(batch.labels, sh.labels)
+    return Batch(codes=codes, video=video, labels=labels)
 
 
 def make_parallel_train_step(model, config, mesh: Mesh,
@@ -84,7 +94,8 @@ def make_parallel_train_step(model, config, mesh: Mesh,
     spec = batch_sharding(mesh, config.accumulation_steps > 1, shard_time)
     codes_sh = NamedSharding(mesh, spec.codes)
     video_sh = NamedSharding(mesh, spec.video) if has_video else None
-    batch_sh = Batch(codes=codes_sh, video=video_sh)
+    labels_sh = NamedSharding(mesh, spec.labels)
+    batch_sh = Batch(codes=codes_sh, video=video_sh, labels=labels_sh)
 
     return jax.jit(
         step,
@@ -100,5 +111,6 @@ def make_parallel_eval_step(model, config, mesh: Mesh, has_video: bool,
     spec = batch_sharding(mesh, False, shard_time)
     codes_sh = NamedSharding(mesh, spec.codes)
     video_sh = NamedSharding(mesh, spec.video) if has_video else None
-    batch_sh = Batch(codes=codes_sh, video=video_sh)
+    labels_sh = NamedSharding(mesh, spec.labels)
+    batch_sh = Batch(codes=codes_sh, video=video_sh, labels=labels_sh)
     return jax.jit(step, in_shardings=(rep, batch_sh), out_shardings=rep)

@@ -40,6 +40,7 @@ class Batch(struct.PyTreeNode):
 
     codes: jnp.ndarray                       # (B, T) or (A, B, T) int32
     video: Optional[jnp.ndarray] = None      # (B, F, H, W, C) float or None
+    labels: Optional[jnp.ndarray] = None     # (B,) int32 class ids or None
 
 
 class TrainState(train_state.TrainState):
@@ -54,10 +55,13 @@ def create_train_state(model: WaveNet, config, tx,
                        lr_schedule=None) -> TrainState:
     codes = sample_batch.codes
     video = sample_batch.video
+    labels = sample_batch.labels
     if codes.ndim == 3:  # strip accumulation axis for init
         codes = codes[0]
         video = None if video is None else video[0]
-    variables = model.init(rng, codes, video, method=WaveNet.init_all)
+        labels = None if labels is None else labels[0]
+    variables = model.init(rng, codes, video, labels,
+                           method=WaveNet.init_all)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
@@ -70,8 +74,9 @@ def _loss_and_metrics(model: WaveNet, parity: bool):
     rf = model.receptive_fields
 
     def fn(params, batch: Batch):
+        labels = batch.labels if model.global_classes else None
         logits = model.apply(
-            {"params": params}, batch.codes, batch.video,
+            {"params": params}, batch.codes, batch.video, labels,
             method=WaveNet.train_logits)
         logits = logits.astype(jnp.float32)       # (B, T-RF, C)
         targets = batch.codes[:, rf:]

@@ -159,6 +159,12 @@ def train_model(
     if config.n_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, config.n_steps_per_epoch)
 
+    if mc.global_classes == -1:
+        # auto: one class per dataset category (the reference's planned
+        # "dance-style" global conditioning, wavenet.py:73)
+        mc.global_classes = max(1, len(train_loader.context_to_id))
+        logger.info("global conditioning over %d classes",
+                    mc.global_classes)
     model = make_wavenet(mc)
     logger.info("model receptive field: %d", model.receptive_fields)
 
@@ -270,9 +276,12 @@ def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
 
     codes = jnp.asarray(batch.codes)
     video = None if batch.video is None else jnp.asarray(batch.video)
+    labels = None
+    if model.global_classes and batch.labels is not None:
+        labels = jnp.asarray(batch.labels)
     rf = model.receptive_fields
 
-    logits = model.apply({"params": state.params}, codes, video,
+    logits = model.apply({"params": state.params}, codes, video, labels,
                          method=WaveNet.train_logits)
     predicted = np.asarray(jnp.argmax(logits, -1))
 
@@ -283,7 +292,7 @@ def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
         generated = np.asarray(fast_generate(
             model, {"params": state.params}, codes[:, :rf], int(n),
             temperature=config.generate_temperature,
-            rng=jax.random.PRNGKey(epoch), video=video))
+            rng=jax.random.PRNGKey(epoch), video=video, labels=labels))
         logger.info("sample generation took %.2f seconds",
                     time.perf_counter() - t0)
 
