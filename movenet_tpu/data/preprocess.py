@@ -15,8 +15,6 @@ Pipeline per clip (reference order, dataset.py:177-183, 253-310):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from movenet_tpu.ops.resample import _resample_plan

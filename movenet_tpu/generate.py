@@ -42,7 +42,7 @@ def generate_from_checkpoint(
 
     from movenet_tpu.config import TrainingConfig
     from movenet_tpu.models.sampler import fast_generate
-    from movenet_tpu.models.wavenet import WaveNet, make_wavenet
+    from movenet_tpu.models.wavenet import make_wavenet
     from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
     from movenet_tpu.train import (
         create_train_state, make_optimizer, restore_checkpoint)

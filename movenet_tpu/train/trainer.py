@@ -33,7 +33,7 @@ from movenet_tpu.parallel import (
     sync_global_devices,
 )
 from movenet_tpu.train.checkpoint import CheckpointManager
-from movenet_tpu.train.loop import Batch, create_train_state
+from movenet_tpu.train.loop import create_train_state
 from movenet_tpu.train.optim import make_optimizer, make_schedule
 from movenet_tpu.utils.observability import StepTimer, make_writer
 from movenet_tpu.utils.samples import export_samples
