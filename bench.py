@@ -50,7 +50,8 @@ def _train_steps_per_sec():
                      compute_dtype="bfloat16")
     cfg = TrainingConfig(model_config=mc, optimizer="AdamW",
                          learning_rate=3e-4, scheduler=None,
-                         batch_size=2, mesh=MeshConfig(data=1, seq=1))
+                         batch_size=2, fused_blocks=True,
+                         mesh=MeshConfig(data=1, seq=1))
     model = make_wavenet(mc)
     rng = np.random.default_rng(0)
     batch = Batch(

@@ -116,6 +116,9 @@ class TrainingConfig:
     n_epochs: int = 100
     n_steps_per_epoch: Optional[int] = None
     use_video: bool = True
+    # route the training forward/backward through the Pallas fused
+    # gated-block kernels (requires sequence length % 128 == 0)
+    fused_blocks: bool = False
     gradient_clipping: Optional[float] = 0.0
     batch_subsample_frac: Optional[float] = None
     val_batch_subsample_frac: Optional[float] = None
@@ -270,6 +273,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--layer_size", type=int, default=3)
     p.add_argument("--stack_size", type=int, default=3)
     p.add_argument("--global_classes", type=int, default=0)
+    p.add_argument("--fused_blocks", type=_bool_flag, default=False)
     p.add_argument("--seed", type=int, default=0)
     # distributed (reference flags kept; TPU-native additions below)
     p.add_argument("--dist_backend", type=str, default=None)
@@ -345,6 +349,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         n_epochs=args.n_epochs,
         n_steps_per_epoch=args.n_steps_per_epoch,
         use_video=args.use_video,
+        fused_blocks=args.fused_blocks,
         gradient_clipping=args.gradient_clipping,
         batch_subsample_frac=args.batch_subsample_frac,
         val_batch_subsample_frac=args.val_batch_subsample_frac,

@@ -70,28 +70,47 @@ def create_train_state(model: WaveNet, config, tx,
     )
 
 
-def _loss_and_metrics(model: WaveNet, parity: bool):
+def _loss_and_metrics(model: WaveNet, parity: bool,
+                      fused: bool = False):
     rf = model.receptive_fields
 
     def fn(params, batch: Batch):
         labels = batch.labels if model.global_classes else None
-        logits = model.apply(
-            {"params": params}, batch.codes, batch.video, labels,
-            method=WaveNet.train_logits)
+        if fused:
+            from movenet_tpu.models.fused import fused_train_logits
+
+            logits = fused_train_logits(model, params, batch.codes,
+                                        batch.video, labels)
+        else:
+            logits = model.apply(
+                {"params": params}, batch.codes, batch.video, labels,
+                method=WaveNet.train_logits)
         logits = logits.astype(jnp.float32)       # (B, T-RF, C)
         targets = batch.codes[:, rf:]
+        tgt = targets[..., None]
         if parity:
-            # CE computed on softmax probabilities, as upstream
+            # CE computed on softmax probabilities, as upstream.
+            # -log_softmax(p)[y] == logsumexp(p) - p[y] exactly; the
+            # analytic form skips a full log_softmax pass over the
+            # (B, T, C) tensor.
             probs = jax.nn.softmax(logits, axis=-1)
-            logp = jax.nn.log_softmax(probs, axis=-1)
+            nll = jax.nn.logsumexp(probs, axis=-1, keepdims=True) \
+                - jnp.take_along_axis(probs, tgt, axis=-1)
         else:
-            logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+            nll = jax.nn.logsumexp(logits, axis=-1, keepdims=True) \
+                - jnp.take_along_axis(logits, tgt, axis=-1)
         loss = nll.mean()
         acc = (logits.argmax(-1) == targets).mean()
         return loss, acc
 
     return fn
+
+
+def _use_fused(config) -> bool:
+    """Fused Pallas blocks are TPU kernels; fall back to the XLA path on
+    other backends (tests run on CPU)."""
+    return bool(getattr(config, "fused_blocks", False)) and \
+        jax.default_backend() == "tpu"
 
 
 def make_train_step(model: WaveNet, config):
@@ -103,7 +122,7 @@ def make_train_step(model: WaveNet, config):
     """
     parity = config.model_config.parity_softmax_output
     accum = config.accumulation_steps
-    loss_fn = _loss_and_metrics(model, parity)
+    loss_fn = _loss_and_metrics(model, parity, fused=_use_fused(config))
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch: Batch):
@@ -138,7 +157,7 @@ def make_train_step(model: WaveNet, config):
 
 def make_eval_step(model: WaveNet, config):
     parity = config.model_config.parity_softmax_output
-    loss_fn = _loss_and_metrics(model, parity)
+    loss_fn = _loss_and_metrics(model, parity, fused=_use_fused(config))
 
     def eval_step(state: TrainState, batch: Batch):
         loss, acc = loss_fn(state.params, batch)

@@ -1,0 +1,55 @@
+"""Fused-trunk training forward (models/fused.py) vs the flax model:
+values and full parameter gradients (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from movenet_tpu.config import ModelConfig
+from movenet_tpu.models.fused import fused_train_logits, supports_fused
+from movenet_tpu.models.wavenet import WaveNet, make_wavenet
+
+
+@pytest.mark.parametrize("video,glob", [(False, False), (True, True)])
+def test_fused_trunk_matches_flax(video, glob, rng_np):
+    cfg = ModelConfig(
+        layer_size=3, stack_size=2, input_channels=64,
+        residual_channels=16, skip_channels=16, compute_dtype="float32",
+        global_classes=3 if glob else 0,
+        max_audio_frames=16000, max_video_frames=16)
+    model = make_wavenet(cfg)
+    t = 16000 if video else 1024
+    assert supports_fused(model, t)
+    codes = jnp.asarray(rng_np.integers(0, 64, size=(2, t)), jnp.int32)
+    vid = None
+    if video:
+        vid = jnp.asarray(rng_np.standard_normal((2, 16, 16, 16, 1)),
+                          jnp.float32)
+    labels = jnp.asarray([0, 2], jnp.int32) if glob else None
+    variables = model.init(jax.random.PRNGKey(0), codes, vid, labels,
+                           method=WaveNet.init_all)
+
+    want = model.apply(variables, codes, vid, labels,
+                       method=WaveNet.train_logits)
+    got = fused_train_logits(model, variables["params"], codes, vid,
+                             labels, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_f(p):
+        return jnp.mean(jnp.square(fused_train_logits(
+            model, p, codes, vid, labels, interpret=True)))
+
+    def loss_u(p):
+        return jnp.mean(jnp.square(model.apply(
+            {"params": p}, codes, vid, labels,
+            method=WaveNet.train_logits)))
+
+    gf = jax.grad(loss_f)(variables["params"])
+    gu = jax.grad(loss_u)(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+        gf, gu)
