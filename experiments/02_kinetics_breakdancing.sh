@@ -15,5 +15,6 @@ exec python -m movenet_tpu.train.cli \
   --layer_size 3 \
   --stack_size 3 \
   --checkpoint_every 1 \
+  --fused_blocks 1 \
   --auto_resume 1 \
   "$@"

@@ -18,5 +18,6 @@ exec python -m movenet_tpu.train.cli \
   --stack_size 2 \
   --num_workers 4 \
   --checkpoint_every 1 \
+  --fused_blocks 1 \
   --mesh_data -1 \
   "$@"

@@ -22,4 +22,5 @@ exec python -m movenet_tpu.train.cli \
   --remat 1 \
   --generate_n_samples 20000 \
   --checkpoint_every 1 \
+  --fused_blocks 1 \
   "$@"
