@@ -131,6 +131,14 @@ def main():
         model, variables, prompt8, n_total, temperature=0.0))
     b8_rate = 8 * n_gen / dt_b8
 
+    # --- batched kernel at B=16 ---------------------------------------------
+    prompt16 = jnp.asarray(
+        np.random.default_rng(2).integers(0, 256, size=(16, rf)),
+        jnp.int32)
+    dt_b16 = timed(lambda: pallas_generate(
+        model, variables, prompt16, n_total, temperature=0.0))
+    b16_rate = 16 * n_gen / dt_b16
+
     # --- lax.scan cached sampler (general path: any batch, video) ----------
     dt_scan = timed(lambda: fast_generate(
         model, variables, prompt, n_total, temperature=0.0))
@@ -152,6 +160,7 @@ def main():
         "naive_same_chip_samples_per_sec": round(naive_rate, 2),
         "scan_sampler_samples_per_sec": round(scan_rate, 2),
         "batched8_agg_samples_per_sec": round(b8_rate, 2),
+        "batched16_agg_samples_per_sec": round(b16_rate, 2),
         "train_steps_per_sec_breakdancing": round(
             _train_steps_per_sec(), 3),
     }))

@@ -277,15 +277,21 @@ def pallas_generate(
     if n_samples <= rf:
         raise ValueError(f"n_samples ({n_samples}) must exceed RF ({rf})")
     batch = prompt_codes.shape[0]
-    if batch not in (1, 2, 4, 8):
+    if batch not in (1, 2, 4, 8, 16, 32):
         raise ValueError(
-            f"pallas sampler supports batch in {{1,2,4,8}}, got {batch}; "
-            "use fast_generate for other batch sizes")
+            "pallas sampler supports batch sizes dividing 128 (up to "
+            f"32), got {batch}; use fast_generate for other batch sizes")
 
     dil = model.dilations
     sum_d = int(np.sum(dil))
     c_in, r, s = (model.input_channels, model.residual_channels,
                   model.skip_channels)
+    ring_bytes = sum_d * batch * r * 4
+    if ring_bytes > 48 * 1024 * 1024:
+        raise ValueError(
+            f"ring buffers need {ring_bytes/2**20:.0f} MiB VMEM at "
+            f"batch={batch} (sum of dilations {sum_d}, R={r}); reduce "
+            "the batch or use fast_generate")
 
     has_ctx = video is not None
     sp = stack_sampler_params(model, variables, with_context=has_ctx)
