@@ -165,6 +165,17 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded-wait put so an early-stopping consumer never
+            # leaves this thread blocked forever
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -177,12 +188,13 @@ class DataLoader:
                             continue  # substitute: next clip fills slot
                         group.append(ex)
                         if len(group) == self.examples_per_step:
-                            out_q.put(self._assemble(group, rng))
+                            if not put(self._assemble(group, rng)):
+                                return
                             group = []
             except Exception as e:  # surface errors on the consumer side
-                out_q.put(e)
+                put(e)
             finally:
-                out_q.put(None)
+                put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -86,24 +86,40 @@ def _device_prefetch(batches, mesh, depth: int = 2):
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # never block forever: the consumer may stop early (step caps,
+        # preemption) and the producer must not leak blocked threads
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(shard_batch(mesh, b))
+                if not _put(shard_batch(mesh, b)):
+                    return
         except Exception as e:  # surface on the consumer side
-            q.put(e)
+            _put(e)
         finally:
-            q.put(None)
+            _put(None)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, Exception):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def _mean_metrics(metrics_list) -> Dict[str, float]:
