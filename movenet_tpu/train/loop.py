@@ -77,14 +77,15 @@ def _loss_and_metrics(model: WaveNet, parity: bool,
     def fn(params, batch: Batch):
         labels = batch.labels if model.global_classes else None
         if fused:
-            from movenet_tpu.models.fused import fused_train_logits
+            # fully kernelized: fused trunk + fused head/CE; logits
+            # never materialize in HBM
+            from movenet_tpu.models.fused import fused_train_loss
 
-            logits = fused_train_logits(model, params, batch.codes,
-                                        batch.video, labels)
-        else:
-            logits = model.apply(
-                {"params": params}, batch.codes, batch.video, labels,
-                method=WaveNet.train_logits)
+            return fused_train_loss(model, params, batch.codes,
+                                    batch.video, labels, parity=parity)
+        logits = model.apply(
+            {"params": params}, batch.codes, batch.video, labels,
+            method=WaveNet.train_logits)
         logits = logits.astype(jnp.float32)       # (B, T-RF, C)
         targets = batch.codes[:, rf:]
         tgt = targets[..., None]
