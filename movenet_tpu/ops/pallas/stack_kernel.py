@@ -1,0 +1,386 @@
+"""Whole-stack fused WaveNet trunk (training path), Pallas TPU.
+
+The per-block kernels (gated_block.py) still round-trip the residual
+stream and the skip accumulator through HBM once per layer.  This
+kernel runs ALL gated blocks for a time tile in one program:
+
+  forward:  the residual stream and the skip accumulator live in
+            registers across the unrolled layer loop; per-layer dilation
+            ring buffers share one packed VMEM scratch (static offsets).
+            HBM traffic per tile: read x + ctx once, write skip_sum once
+            and the per-layer inputs h_l (saved for the backward pass).
+  backward: reverse time tiles; per layer (top-down) the gating is
+            recomputed from the saved h_l (the shifted slice comes from
+            L additional views of the same saved array with per-layer
+            shifted index maps), dh chains through the layers in
+            registers, per-layer anti-causal rings carry the past-tap
+            gradients, and all weight grads accumulate in stacked f32
+            VMEM scratch.  dctx accumulates across layers in registers
+            and is written once per tile.
+
+One tile size serves the whole stack: it divides T and every dilation
+is either < tile or a multiple of it (powers of two make this easy).
+Numerics are identical to the per-block path (same fp32 MXU math); the
+equivalence/grad tests pin it against the unfused XLA formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from movenet_tpu.ops.pallas.gated_block import _dot, _dot_t0
+
+
+def pick_stack_tile(t: int, dilations) -> int:
+    for tile in (4000, 2000, 1600, 1000, 800, 512, 500, 400, 256, 200,
+                 128, 64, 32, 16, 8):
+        if t % tile or tile % 8:
+            continue
+        if all(d < tile or d % tile == 0 for d in dilations):
+            return tile
+    raise ValueError(f"no stack tile for T={t}, dilations={dilations}")
+
+
+def _ring_offsets(dilations):
+    offs, total = [], 0
+    for d in dilations:
+        offs.append(total)
+        total += d
+    return offs, total
+
+
+# --------------------------------------------------------------- forward
+def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
+                out_dtype, n_batch: int):
+    n_layers = len(dilations)
+    offs, _ = _ring_offsets(dilations)
+
+    def kernel(x_ref, ctx_ref, b_fg_ref, w_fg_ref, w_out_ref, b_out_ref,
+               skip_ref, hsave_ref, ring_ref):
+        b_idx = pl.program_id(0)
+        ti = pl.program_id(1)
+        t0 = ti * tile
+
+        @pl.when(ti == 0)
+        def _():
+            ring_ref[:, :] = jnp.zeros(ring_ref.shape, jnp.float32)
+
+        h = x_ref[0].astype(jnp.float32)
+        ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
+        skip_acc = jnp.zeros((tile, s), jnp.float32)
+
+        for l, d in enumerate(dilations):
+            hsave_ref[l, 0] = h.astype(out_dtype)
+            if d >= tile:
+                slot = offs[l] + jax.lax.rem(t0, d)
+                shifted = ring_ref[pl.ds(slot, tile), :]
+                ring_ref[pl.ds(slot, tile), :] = h
+            else:
+                shifted = jnp.concatenate(
+                    [ring_ref[pl.ds(offs[l], d), :], h[: tile - d, :]],
+                    axis=0)
+                ring_ref[pl.ds(offs[l], d), :] = h[tile - d:, :]
+            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            hp = jnp.concatenate(parts, axis=1)
+            fg = _dot(hp, w_fg_ref[l]) \
+                + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
+            gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
+            out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
+            skip_acc = skip_acc + out[:, r:]
+            h = out[:, :r] + h
+
+        skip_ref[0] = skip_acc.astype(out_dtype)
+
+    return kernel
+
+
+def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
+                interpret: bool):
+    batch, t_total, r = x.shape
+    s = w_out.shape[2] - r
+    has_ctx = ctx is not None
+    n_layers = len(dilations)
+    tile = pick_stack_tile(t_total, dilations)
+    n_tiles = t_total // tile
+    _, ring_rows = _ring_offsets(dilations)
+
+    def tmap(b, i):
+        return (b, i, 0)
+
+    if has_ctx:
+        ctx_spec = pl.BlockSpec((1, tile, r), tmap,
+                                memory_space=pltpu.VMEM)
+        ctx_arg = ctx
+    else:
+        ctx_spec = pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        ctx_arg = jnp.zeros((1, 1), jnp.int32)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    skip, hsave = pl.pallas_call(
+        _fwd_kernel(tuple(dilations), r, s, has_ctx, tile, x.dtype,
+                    batch),
+        grid=(batch, n_tiles),
+        in_specs=[pl.BlockSpec((1, tile, r), tmap,
+                               memory_space=pltpu.VMEM),
+                  ctx_spec, vm, vm, vm, vm],
+        out_specs=(
+            pl.BlockSpec((1, tile, s), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 1, tile, r),
+                         lambda b, i: (0, b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_total, s), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, batch, t_total, r), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max(ring_rows, 8), r), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ctx_arg, b_fg, w_fg, w_out, b_out)
+    return skip, hsave
+
+
+# -------------------------------------------------------------- backward
+def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
+                dilations, interpret: bool):
+    n_layers, batch, t_total, r = hsave.shape
+    s = w_out.shape[2] - r
+    has_ctx = ctx is not None
+    tile = pick_stack_tile(t_total, dilations)
+    n_tiles = t_total // tile
+    w_in = w_fg.shape[1]
+    # anti-causal rings need at least `tile` rows per layer
+    offs2, total2 = [], 0
+    for d in dilations:
+        offs2.append(total2)
+        total2 += max(d, tile)
+
+    def rmap(b, j):
+        return (b, n_tiles - 1 - j, 0)
+
+    def hmap(l):
+        return lambda b, j: (l, b, n_tiles - 1 - j, 0)
+
+    def hmap_shift(l, d):
+        if d >= tile:
+            return lambda b, j: (
+                l, b, jnp.maximum((n_tiles - 1 - j) - d // tile, 0), 0)
+        return lambda b, j: (
+            l, b, jnp.maximum((n_tiles - 1 - j) - 1, 0), 0)
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if has_ctx:
+        ctx_spec = pl.BlockSpec((1, tile, r), rmap,
+                                memory_space=pltpu.VMEM)
+        ctx_arg = ctx
+    else:
+        ctx_spec = pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                                memory_space=pltpu.SMEM)
+        ctx_arg = jnp.zeros((1, 1), jnp.int32)
+
+    hsave_spec = pl.BlockSpec((n_layers, 1, tile, r),
+                              lambda b, j: (0, b, n_tiles - 1 - j, 0),
+                              memory_space=pltpu.VMEM)
+    shift_specs = [
+        pl.BlockSpec((1, 1, tile, r), hmap_shift(l, d),
+                     memory_space=pltpu.VMEM)
+        for l, d in enumerate(dilations)
+    ]
+
+    dil = tuple(dilations)
+    outs = pl.pallas_call(
+        _bwd_kernel_padded(dil, r, s, has_ctx, tile, n_tiles, batch,
+                           hsave.dtype, tuple(offs2)),
+        grid=(batch, n_tiles),
+        in_specs=[hsave_spec, ctx_spec, vm, vm, vm, vm, vm,
+                  pl.BlockSpec((1, tile, r), rmap,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile, s), rmap,
+                               memory_space=pltpu.VMEM),
+                  *shift_specs],
+        out_specs=(
+            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            vm, vm, vm, vm,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_total, r), hsave.dtype),
+            jax.ShapeDtypeStruct((batch, t_total, r), hsave.dtype),
+            jax.ShapeDtypeStruct((n_layers * batch, 2 * r), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, w_in, 2 * r), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, r, r + s), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, r + s), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((total2, r), jnp.float32),
+            pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
+            pltpu.VMEM((n_layers, r, r + s), jnp.float32),
+            pltpu.VMEM((n_layers, r + s), jnp.float32),
+            pltpu.VMEM((n_layers, 2 * r), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(hsave, ctx_arg, b_fg, w_fg,
+      jnp.swapaxes(w_fg, 1, 2), w_out, jnp.swapaxes(w_out, 1, 2),
+      dh_top, dskip, *([hsave] * n_layers))
+    return outs
+
+
+def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
+                       n_batch, in_dtype, ring_offs):
+    """_bwd_kernel with explicit (padded) ring offsets."""
+    n_layers = len(dilations)
+
+    def kernel(*refs):
+        (hsave_ref, ctx_ref, b_fg_ref, w_fg_ref, w_fg_t_ref, w_out_ref,
+         w_out_t_ref, dh_top_ref, dskip_ref, *rest) = refs
+        shift_refs = rest[:n_layers]
+        (dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
+         db_out_ref, dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
+         dbfg_acc) = rest[n_layers:]
+
+        b_idx = pl.program_id(0)
+        rj = pl.program_id(1)
+        ti = n_tiles - 1 - rj
+        t0 = ti * tile
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+
+        @pl.when(jnp.logical_and(b_idx == 0, rj == 0))
+        def _():
+            dwfg_acc[:, :, :] = jnp.zeros(dwfg_acc.shape, jnp.float32)
+            dwout_acc[:, :, :] = jnp.zeros(dwout_acc.shape, jnp.float32)
+            dbout_acc[:, :] = jnp.zeros(dbout_acc.shape, jnp.float32)
+
+        @pl.when(rj == 0)
+        def _():
+            dfgp_ring[:, :] = jnp.zeros(dfgp_ring.shape, jnp.float32)
+            dbfg_acc[:, :] = jnp.zeros(dbfg_acc.shape, jnp.float32)
+
+        ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
+        dh = dh_top_ref[0].astype(jnp.float32)
+        dskip = dskip_ref[0].astype(jnp.float32)
+        dctx_acc = jnp.zeros((tile, r), jnp.float32) if has_ctx else None
+
+        for l in reversed(range(n_layers)):
+            d = dilations[l]
+            off = ring_offs[l]
+            h = hsave_ref[l, 0].astype(jnp.float32)
+            if d >= tile:
+                shifted = shift_refs[l][0, 0].astype(jnp.float32)
+                shifted = jnp.where(t0 < d, jnp.zeros_like(shifted),
+                                    shifted)
+            else:
+                prev = shift_refs[l][0, 0].astype(jnp.float32)
+                prev = jnp.where(ti == 0, jnp.zeros_like(prev), prev)
+                shifted = jnp.where(row < d,
+                                    pltpu.roll(prev, d, 0),
+                                    pltpu.roll(h, d, 0))
+            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            hp = jnp.concatenate(parts, axis=1)
+            fg = _dot(hp, w_fg_ref[l]) \
+                + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
+            tf = jnp.tanh(fg[:, :r])
+            sg = jax.nn.sigmoid(fg[:, r:])
+            gated = tf * sg
+
+            dout = jnp.concatenate([dh, dskip], axis=1)
+            dgated = _dot(dout, w_out_t_ref[l])
+            df = dgated * sg * (1.0 - tf * tf)
+            dg = dgated * tf * sg * (1.0 - sg)
+            dfg = jnp.concatenate([df, dg], axis=1)
+
+            dwfg_acc[l] += _dot_t0(hp, dfg)
+            dwout_acc[l] += _dot_t0(gated, dout)
+            dbout_acc[pl.ds(l, 1), :] += jnp.sum(dout, axis=0,
+                                                 keepdims=True)
+            dbfg_acc[pl.ds(l, 1), :] += jnp.sum(dfg, axis=0,
+                                                keepdims=True)
+
+            dfg_w = _dot(dfg, w_fg_t_ref[l])
+            dh = dh + dfg_w[:, :r]
+            dfg_p = dfg_w[:, r: 2 * r]
+            if d >= tile:
+                slot = off + jax.lax.rem(t0, d)
+                dh = dh + dfgp_ring[pl.ds(slot, tile), :]
+                dfgp_ring[pl.ds(slot, tile), :] = dfg_p
+            else:
+                saved = dfgp_ring[pl.ds(off, tile), :]
+                future = jnp.where(row < tile - d,
+                                   pltpu.roll(dfg_p, tile - d, 0),
+                                   pltpu.roll(saved, tile - d, 0))
+                dh = dh + future
+                dfgp_ring[pl.ds(off, tile), :] = dfg_p
+            if has_ctx:
+                dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
+
+        dx_ref[0] = dh.astype(in_dtype)
+        if has_ctx:
+            dctx_ref[0] = dctx_acc.astype(in_dtype)
+        else:
+            dctx_ref[0] = jnp.zeros((tile, r), in_dtype)
+
+        @pl.when(rj == n_tiles - 1)
+        def _():
+            for l in range(n_layers):
+                db_fg_ref[pl.ds(l * n_batch + b_idx, 1), :] = \
+                    dbfg_acc[pl.ds(l, 1), :]
+
+        @pl.when(jnp.logical_and(b_idx == n_batch - 1,
+                                 rj == n_tiles - 1))
+        def _():
+            dw_fg_ref[:, :, :] = dwfg_acc[:, :, :]
+            dw_out_ref[:, :, :] = dwout_acc[:, :, :]
+            db_out_ref[:, :] = dbout_acc[:, :]
+
+    return kernel
+
+
+# ------------------------------------------------------------ public op
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_stack(x, ctx, b_fg, w_fg, w_out, b_out, dilations: tuple,
+                interpret: bool = False):
+    """All gated blocks in one kernel.
+
+    Args:
+      x: (B, T, R) front-conv output.
+      ctx: (B, T, R) or None.
+      b_fg: (L*B, 2R) per-(layer, batch) fg bias rows.
+      w_fg: (L, 2R|3R, 2R); w_out: (L, R, R+S); b_out: (L, R+S).
+    Returns:
+      skip_sum (B, T, S).
+    """
+    skip, _ = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
+                          dilations, interpret)
+    return skip
+
+
+def _fs_fwd(x, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret):
+    skip, hsave = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
+                              dilations, interpret)
+    return skip, (hsave, ctx, b_fg, w_fg, w_out, x.shape)
+
+
+def _fs_bwd(dilations, interpret, saved, dskip):
+    hsave, ctx, b_fg, w_fg, w_out, x_shape = saved
+    dh_top = jnp.zeros(x_shape, hsave.dtype)
+    dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
+        hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip, dilations,
+        interpret)
+    if ctx is None:
+        dctx = None
+    return (dx, dctx, db_fg.astype(b_fg.dtype),
+            dw_fg.astype(w_fg.dtype), dw_out.astype(w_out.dtype),
+            db_out.astype(jnp.float32))
+
+
+fused_stack.defvjp(_fs_fwd, _fs_bwd)

@@ -1,0 +1,91 @@
+"""Whole-stack fused trunk kernel vs the per-block reference chain
+(values + all gradients, interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from movenet_tpu.ops.pallas.stack_kernel import fused_stack
+
+
+def _reference_stack(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
+                     n_batch):
+    r = x.shape[-1]
+    h = x
+    skip_sum = None
+    for l, d in enumerate(dilations):
+        shifted = jnp.pad(h, ((0, 0), (d, 0), (0, 0)))[:, : h.shape[1], :]
+        parts = [h, shifted] + ([ctx] if ctx is not None else [])
+        hp = jnp.concatenate(parts, axis=-1)
+        bias = b_fg[l * n_batch:(l + 1) * n_batch][:, None, :]
+        fg = jnp.einsum("bti,io->bto", hp, w_fg[l],
+                        precision=jax.lax.Precision.HIGHEST) + bias
+        gated = jnp.tanh(fg[..., :r]) * jax.nn.sigmoid(fg[..., r:])
+        out = jnp.einsum("btr,ro->bto", gated, w_out[l],
+                         precision=jax.lax.Precision.HIGHEST) \
+            + b_out[l][None, None, :]
+        skip = out[..., r:]
+        skip_sum = skip if skip_sum is None else skip_sum + skip
+        h = out[..., :r] + h
+    return skip_sum
+
+
+def _make(dilations, has_ctx, batch=2, t=512, r=16, s=16, seed=0):
+    rng = np.random.default_rng(seed)
+    nl = len(dilations)
+    w_in = (3 if has_ctx else 2) * r
+    x = jnp.asarray(rng.standard_normal((batch, t, r)) * 0.3, jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((batch, t, r)) * 0.3,
+                      jnp.float32) if has_ctx else None
+    b_fg = jnp.asarray(rng.standard_normal((nl * batch, 2 * r)) * 0.05,
+                       jnp.float32)
+    w_fg = jnp.asarray(rng.standard_normal((nl, w_in, 2 * r)) * 0.2,
+                       jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((nl, r, r + s)) * 0.2,
+                        jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal((nl, r + s)) * 0.05,
+                        jnp.float32)
+    return x, ctx, b_fg, w_fg, w_out, b_out
+
+
+@pytest.mark.parametrize("dilations", [(1, 2, 4, 1, 2, 4),
+                                       (1, 128, 256)])
+@pytest.mark.parametrize("has_ctx", [False, True])
+def test_stack_forward_matches(dilations, has_ctx):
+    args = _make(dilations, has_ctx)
+    got = fused_stack(*args, tuple(dilations), True)
+    want = _reference_stack(*args, dilations, args[0].shape[0])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("dilations", [(1, 2, 4, 1, 2, 4),
+                                       (1, 128, 256)])
+@pytest.mark.parametrize("has_ctx", [False, True])
+def test_stack_gradients_match(dilations, has_ctx):
+    x, ctx, b_fg, w_fg, w_out, b_out = _make(dilations, has_ctx)
+    n_batch = x.shape[0]
+
+    def loss_f(x, ctx, b_fg, w_fg, w_out, b_out):
+        s = fused_stack(x, ctx, b_fg, w_fg, w_out, b_out,
+                        tuple(dilations), True)
+        return jnp.sum(jnp.sin(s))
+
+    def loss_r(x, ctx, b_fg, w_fg, w_out, b_out):
+        s = _reference_stack(x, ctx, b_fg, w_fg, w_out, b_out,
+                             dilations, n_batch)
+        return jnp.sum(jnp.sin(s))
+
+    argnums = (0, 2, 3, 4, 5) if not has_ctx else (0, 1, 2, 3, 4, 5)
+    args = (x, ctx, b_fg, w_fg, w_out, b_out)
+    gf = jax.grad(loss_f, argnums=argnums)(*args)
+    gr = jax.grad(loss_r, argnums=argnums)(*args)
+    names = (["x", "b_fg", "w_fg", "w_out", "b_out"] if not has_ctx
+             else ["x", "ctx", "b_fg", "w_fg", "w_out", "b_out"])
+    for a, b_, name in zip(gf, gr, names):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4,
+            err_msg=f"grad mismatch: {name} ({dilations}, "
+                    f"ctx={has_ctx})")
