@@ -107,7 +107,7 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
     n_layers = len(dilations)
     tile = pick_stack_tile(t_total, dilations)
     n_tiles = t_total // tile
-    _, ring_rows = _ring_offsets(dilations)
+    ring_rows = _ring_offsets(dilations)[1]
 
     def tmap(b, i):
         return (b, i, 0)
@@ -167,9 +167,6 @@ def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
     def rmap(b, j):
         return (b, n_tiles - 1 - j, 0)
 
-    def hmap(l):
-        return lambda b, j: (l, b, n_tiles - 1 - j, 0)
-
     def hmap_shift(l, d):
         if d >= tile:
             return lambda b, j: (
@@ -196,9 +193,9 @@ def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
         for l, d in enumerate(dilations)
     ]
 
-    dil = tuple(dilations)
     outs = pl.pallas_call(
-        _bwd_kernel_padded(dil, r, s, has_ctx, tile, n_tiles, batch,
+        _bwd_kernel_padded(tuple(dilations), r, s, has_ctx, tile,
+                           n_tiles, batch,
                            hsave.dtype, tuple(offs2)),
         grid=(batch, n_tiles),
         in_specs=[hsave_spec, ctx_spec, vm, vm, vm, vm, vm,
