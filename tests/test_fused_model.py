@@ -53,3 +53,43 @@ def test_fused_trunk_matches_flax(video, glob, rng_np):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
         gf, gu)
+
+
+def test_fused_train_loss_matches_unfused(rng_np):
+    """The fully-kernelized loss (stack + head/CE kernels) equals the
+    unfused loss and gradients exactly."""
+    from movenet_tpu.models.fused import fused_train_loss
+
+    cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=64,
+                      residual_channels=16, skip_channels=16,
+                      compute_dtype="float32", global_classes=3)
+    model = make_wavenet(cfg)
+    codes = jnp.asarray(rng_np.integers(0, 64, size=(2, 1024)),
+                        jnp.int32)
+    labels = jnp.asarray([0, 2], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), codes, None, labels,
+                           method=WaveNet.init_all)
+    rf = model.receptive_fields
+
+    def unfused(p):
+        lg = model.apply({"params": p}, codes, None, labels,
+                         method=WaveNet.train_logits)
+        pr = jax.nn.softmax(lg, -1)
+        tgt = codes[:, rf:][..., None]
+        return (jax.nn.logsumexp(pr, -1, keepdims=True)
+                - jnp.take_along_axis(pr, tgt, -1)).mean()
+
+    def fused(p):
+        loss, _ = fused_train_loss(model, p, codes, None, labels,
+                                   parity=True, interpret=True)
+        return loss
+
+    np.testing.assert_allclose(float(fused(variables["params"])),
+                               float(unfused(variables["params"])),
+                               rtol=1e-6)
+    gf = jax.grad(fused)(variables["params"])
+    gu = jax.grad(unfused)(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-8),
+        gf, gu)
