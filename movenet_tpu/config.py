@@ -154,6 +154,11 @@ class TrainingConfig:
 
     # --- model IO -----------------------------------------------------------
     pretrained_model_path: Optional[Path] = None
+    # warm-start from another local run by name (the reference resolved
+    # this against grid.ai artifact storage, trainer.py:709-728; here it
+    # resolves a sibling run directory under model_output_path's parent
+    # or an absolute/CWD-relative directory, and fails loudly otherwise)
+    pretrained_run_exp_name: Optional[str] = None
     model_output_path: Path = Path("models")
     # resume from the latest checkpoint under model_output_path if any
     # (the reference delegated this to grid.ai --auto_resume,
@@ -162,6 +167,10 @@ class TrainingConfig:
 
     # --- logging --------------------------------------------------------
     tensorboard_dir: Path = Path("tensorboard_logs")
+    # materialize + write per-step scalars every N steps; off-cadence
+    # steps stay fully async on device (pulling every metric to the host
+    # each step forces a device sync that defeats the prefetch overlap)
+    log_every_n_steps: int = 50
     log_samples_every: Optional[int] = None
     logger: Optional[str] = None  # None | "wandb" | "tensorboard" | "jsonl"
     wandb_project: str = "dance2music-tpu"
@@ -306,6 +315,7 @@ def arg_parser() -> argparse.ArgumentParser:
     # logging
     p.add_argument("--logger", default=None, type=str,
                    choices=["wandb", "tensorboard", "jsonl"])
+    p.add_argument("--log_every_n_steps", type=int, default=50)
     p.add_argument("--log_samples_every", type=int, default=None)
     p.add_argument("--log_video", type=_bool_flag, default=False)
     p.add_argument("--wandb_api_key", type=str, default="")
@@ -377,9 +387,11 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
             args.pretrained_model_path
             if args.pretrained_model_path else None
         ),
+        pretrained_run_exp_name=args.pretrained_run_exp_name,
         model_output_path=out_path,
         auto_resume=args.auto_resume,
         tensorboard_dir=args.training_logs_path,
+        log_every_n_steps=args.log_every_n_steps,
         log_samples_every=args.log_samples_every,
         logger=args.logger,
         wandb_project=args.wandb_project,

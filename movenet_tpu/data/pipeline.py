@@ -87,6 +87,7 @@ class DataLoader:
         # ids are consistent across processes; get_dataloader passes it
         self.context_to_id = (context_to_id if context_to_id is not None
                               else index.context_to_id)
+        self._warned_contexts: set = set()
 
     # ------------------------------------------------------------- sizes
     @property
@@ -120,9 +121,17 @@ class DataLoader:
         if self.use_video:
             video = preprocess_video(
                 clip.video, num_frames=self.max_video_frames)
+        label = self.context_to_id.get(meta.context)
+        if label is None:
+            if meta.context not in self._warned_contexts:
+                self._warned_contexts.add(meta.context)
+                logger.warning(
+                    "context %r missing from the class-id mapping "
+                    "(train/val category sets differ?); conditioning on "
+                    "class 0", meta.context)
+            label = 0
         return Example(meta.context, meta.filepath, codes, video,
-                       clip.info,
-                       label=self.context_to_id.get(meta.context, 0))
+                       clip.info, label=label)
 
     # -------------------------------------------------------------- crop
     def _crop(self, codes: np.ndarray, video: Optional[np.ndarray],
@@ -178,12 +187,33 @@ class DataLoader:
 
         def producer():
             try:
+                # bounded in-flight decode: the output queue only
+                # throttles assembled batches, so an unbounded pool.map
+                # would let workers decode the whole epoch ahead of the
+                # consumer (multi-GB of preprocessed clips in RAM)
+                from collections import deque
+
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    pending = pool.map(self._load_example, idx.entries)
+                    entries = iter(idx.entries)
+                    in_flight: deque = deque()
+
+                    def refill():
+                        while len(in_flight) < self.num_workers * 2:
+                            meta = next(entries, None)
+                            if meta is None:
+                                return
+                            in_flight.append(
+                                pool.submit(self._load_example, meta))
+
+                    refill()
                     group: List[Example] = []
-                    for ex in pending:
+                    while in_flight:
                         if stop.is_set():
+                            for f in in_flight:
+                                f.cancel()
                             return
+                        ex = in_flight.popleft().result()
+                        refill()
                         if ex is None:
                             continue  # substitute: next clip fills slot
                         group.append(ex)

@@ -50,8 +50,6 @@ def create_mesh(mesh_config=None, devices=None,
     with a warning) instead of failing on non-divisible batches.
     An explicitly requested shape is honored strictly.
     """
-    import math
-
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if mesh_config is None:
@@ -61,7 +59,10 @@ def create_mesh(mesh_config=None, devices=None,
     auto_data = mesh_config is None or mesh_config.data <= 0
     if auto_data and batch_size is not None:
         avail = n // seq
-        data = math.gcd(batch_size, avail)
+        # largest divisor of the batch that fits the available devices
+        # (gcd would idle devices needlessly: batch 6 on 4 devices must
+        # give data=3, not gcd(6,4)=2)
+        data = max(d for d in range(1, avail + 1) if batch_size % d == 0)
         if data * seq < n:
             logger.warning(
                 "mesh auto-fit: using %d of %d devices (data=%d, seq=%d) "
@@ -81,13 +82,27 @@ def create_mesh(mesh_config=None, devices=None,
 
 def local_batch_size(global_batch_size: int, mesh: Mesh) -> int:
     """Per-process share of the global batch (the DistributedSampler
-    equivalent, reference dataset.py:79-87)."""
+    equivalent, reference dataset.py:79-87).
+
+    Matches ``shard_batch``'s host_local_array_to_global_array
+    semantics: every process contributes ``global / process_count``
+    rows, which requires the data axis to span processes evenly.
+    """
     data = mesh.shape[DATA_AXIS]
+    procs = jax.process_count()
     if global_batch_size % data:
         raise ValueError(
             f"global batch {global_batch_size} not divisible by data-axis "
             f"size {data}")
-    return global_batch_size // jax.process_count()
+    if data % procs:
+        raise ValueError(
+            f"data-axis size {data} must be a multiple of the process "
+            f"count {procs} for per-process batch sharding")
+    if global_batch_size % procs:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by process "
+            f"count {procs}")
+    return global_batch_size // procs
 
 
 def sync_global_devices(name: str = "barrier") -> None:

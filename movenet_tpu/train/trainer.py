@@ -35,7 +35,7 @@ from movenet_tpu.parallel import (
 from movenet_tpu.train.checkpoint import CheckpointManager
 from movenet_tpu.train.loop import create_train_state
 from movenet_tpu.train.optim import make_optimizer, make_schedule
-from movenet_tpu.utils.observability import StepTimer, make_writer
+from movenet_tpu.utils.observability import make_writer
 from movenet_tpu.utils.samples import export_samples
 
 logger = logging.getLogger(__name__)
@@ -130,6 +130,27 @@ def _mean_metrics(metrics_list) -> Dict[str, float]:
             for k in keys}
 
 
+def _resolve_run_dir(exp_name: str, out_dir: Path) -> Path:
+    """Resolve ``--pretrained_run_exp_name`` to a local run directory
+    holding checkpoints (the reference downloaded grid.ai artifacts by
+    experiment name, trainer.py:709-728).  Candidates: the name as a
+    path, and a sibling run under out_dir's parent.  Fails loudly."""
+    candidates = [Path(exp_name), out_dir.parent / exp_name]
+    tried = []
+    for cand in candidates:
+        tried.append(str(cand))
+        if not cand.is_dir():
+            continue
+        probe = CheckpointManager(cand)
+        has_ckpt = probe.latest_step() is not None
+        probe.close()
+        if has_ckpt:
+            return cand
+    raise FileNotFoundError(
+        f"pretrained_run_exp_name={exp_name!r}: no run directory with "
+        f"checkpoints found (tried: {', '.join(tried)})")
+
+
 def train_model(
     dataset_fp: str,
     config: TrainingConfig,
@@ -194,12 +215,18 @@ def train_model(
     out_dir = Path(config.model_output_path)
     ckpt = CheckpointManager(out_dir)
     start_epoch = 0
-    if config.pretrained_model_path:
-        pre = CheckpointManager(Path(config.pretrained_model_path))
+    pretrained_path = config.pretrained_model_path
+    if pretrained_path is None and config.pretrained_run_exp_name:
+        pretrained_path = _resolve_run_dir(
+            config.pretrained_run_exp_name, out_dir)
+        logger.info("resolved pretrained run %r -> %s",
+                    config.pretrained_run_exp_name, pretrained_path)
+    if pretrained_path:
+        pre = CheckpointManager(Path(pretrained_path))
         state = pre.restore(state)
         pre.close()
         logger.info("restored pretrained state (step %d) from %s",
-                    int(state.step), config.pretrained_model_path)
+                    int(state.step), pretrained_path)
     elif getattr(config, "auto_resume", False) and \
             ckpt.latest_step() is not None:
         state = ckpt.restore(state)
@@ -217,27 +244,45 @@ def train_model(
                                               has_video=has_video)
         eval_step = make_parallel_eval_step(model, config, mesh,
                                             has_video=has_video)
-        timer = StepTimer()
         guard = PreemptionGuard()
+        log_every = max(1, config.log_every_n_steps)
 
         for epoch in range(start_epoch, config.n_epochs):
             t_epoch = time.perf_counter()
-            train_metrics = []
+            # scalars stay on device between log points: float() forces
+            # a device sync that would serialize dispatch and defeat the
+            # prefetch overlap, so sums accumulate as (async) device
+            # adds and only materialize every log_every steps
+            metric_sums = None
+            n_steps = 0
+            t_window = time.perf_counter()
+            window_start = 0
             for i, batch in enumerate(
                     _device_prefetch(train_loader.epoch(epoch), mesh)):
                 if i >= steps_per_epoch or guard.requested:
                     break
                 state, metrics = train_step(state, batch)
-                metrics = {k: float(v) for k, v in metrics.items()}
-                metrics.update(timer.tick())
-                train_metrics.append(metrics)
-                writer.scalars("train", metrics, int(state.step))
+                metric_sums = metrics if metric_sums is None else \
+                    jax.tree.map(lambda a, b: a + b, metric_sums, metrics)
+                n_steps = i + 1
+                if n_steps % log_every == 0 or n_steps == steps_per_epoch:
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    now = time.perf_counter()
+                    vals["steps_per_sec"] = ((n_steps - window_start)
+                                             / max(now - t_window, 1e-9))
+                    t_window, window_start = now, n_steps
+                    writer.scalars("train", vals, int(state.step))
+            train_mean = {} if metric_sums is None else {
+                k: float(v) / n_steps for k, v in metric_sums.items()}
 
             if guard.requested:
                 if jax.process_index() == 0:
                     logger.warning("preempted: checkpointing at epoch %d",
                                    epoch)
-                    ckpt.save(epoch, state)
+                # orbax saves are collective in multi-process JAX: every
+                # process must enter save() (it gates primary-host writes
+                # internally); gating on process 0 would deadlock
+                ckpt.save(epoch, state)
                 break
 
             val_metrics = []
@@ -251,8 +296,7 @@ def train_model(
             epoch_summary = {
                 "epoch": epoch,
                 "epoch_seconds": time.perf_counter() - t_epoch,
-                **{f"train_{k}": v
-                   for k, v in _mean_metrics(train_metrics).items()},
+                **{f"train_{k}": v for k, v in train_mean.items()},
                 **{f"val_{k}": v
                    for k, v in _mean_metrics(val_metrics).items()},
             }
@@ -266,8 +310,8 @@ def train_model(
                              epoch, writer)
 
             is_last = epoch == config.n_epochs - 1
-            if jax.process_index() == 0 and (
-                    is_last or (epoch + 1) % config.checkpoint_every == 0):
+            if is_last or (epoch + 1) % config.checkpoint_every == 0:
+                # all processes: orbax save is a collective (see above)
                 ckpt.save(epoch, state)
             sync_global_devices(f"epoch_{epoch}")
 
@@ -284,17 +328,22 @@ def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
     batch, exported as WAVs (reference trainer.py:469-607)."""
     if jax.process_index() != 0:
         return
-    try:
-        batch = next(iter(val_loader.epoch(epoch)))
-    except StopIteration:
+    # meta_batches carries the exact filepath per row (the tensor loader
+    # substitutes failed decodes, which would shift an index-positional
+    # source mapping)
+    group = next(val_loader.meta_batches(), None)
+    if group is None:
         return
     import jax.numpy as jnp
 
-    codes = jnp.asarray(batch.codes)
-    video = None if batch.video is None else jnp.asarray(batch.video)
+    codes = jnp.asarray(np.stack([ex.codes for ex in group]), jnp.int32)
+    video = None
+    if val_loader.use_video and group[0].video is not None:
+        video = jnp.asarray(np.stack([ex.video for ex in group]))
     labels = None
-    if model.global_classes and batch.labels is not None:
-        labels = jnp.asarray(batch.labels)
+    if model.global_classes:
+        labels = jnp.asarray([ex.label for ex in group], jnp.int32)
+    sources = [ex.filepath for ex in group]
     rf = model.receptive_fields
 
     logits = model.apply({"params": state.params}, codes, video, labels,
@@ -317,10 +366,6 @@ def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
         kinds["generated"] = generated
     model_rate = int(16_000 * config.model_config.max_audio_frames
                      / 160_000)
-    # val loader is unshuffled, so the first batch maps onto the first
-    # index entries (decode failures may shift this; best-effort)
-    sources = [e.filepath
-               for e in val_loader.index.entries[:codes.shape[0]]]
     written = export_samples(out_dir / "samples", epoch, "val", kinds,
                              config.model_config.input_channels,
                              model_rate=max(model_rate, 1),
@@ -329,4 +374,5 @@ def _log_samples(model: WaveNet, state, config, val_loader, out_dir,
         from movenet_tpu.utils.samples import log_samples_table
 
         log_samples_table(writer, "val", epoch, written,
-                          filepaths=sources)
+                          filepaths=sources,
+                          videos=sources if config.log_video else None)

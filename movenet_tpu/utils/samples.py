@@ -42,6 +42,38 @@ def write_wav(path: Path, audio: np.ndarray, sample_rate: int,
     return path
 
 
+_warned_no_mp3 = False
+
+
+def encode_mp3(wav_path: Path, mp3_path: Optional[Path] = None,
+               bitrate: str = "192k") -> Optional[Path]:
+    """Encode a WAV to MP3 via the ffmpeg CLI (the reference writes both
+    wav and mp3 per artifact, trainer.py:566-580).  Returns the mp3 path,
+    or None (with a one-time warning) when no ffmpeg is on PATH."""
+    global _warned_no_mp3
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        if not _warned_no_mp3:
+            _warned_no_mp3 = True
+            logger.warning("ffmpeg not on PATH: skipping mp3 export "
+                           "(wav artifacts are still written)")
+        return None
+    wav_path = Path(wav_path)
+    mp3_path = mp3_path or wav_path.with_suffix(".mp3")
+    proc = subprocess.run(
+        [ffmpeg, "-y", "-loglevel", "error", "-i", str(wav_path),
+         "-b:a", bitrate, str(mp3_path)],
+        capture_output=True, text=True)
+    if proc.returncode != 0:
+        logger.warning("mp3 encode failed for %s: %s", wav_path,
+                       proc.stderr.strip()[:200])
+        return None
+    return mp3_path
+
+
 def export_samples(
     out_dir: Path,
     epoch: int,
@@ -51,6 +83,7 @@ def export_samples(
     model_rate: int = 16_000,
     target_rate: Optional[int] = None,
     source_paths: Optional[list] = None,
+    mp3: bool = True,
 ) -> Dict[str, list]:
     """Decode and write one batch of sample kinds.
 
@@ -74,8 +107,12 @@ def export_samples(
             if target_rate and target_rate != model_rate:
                 audio = resample_np(audio, model_rate, target_rate)
                 rate = target_rate
-            paths.append(
-                write_wav(out / f"{kind}_{i:02d}.wav", audio, rate))
+            wav = write_wav(out / f"{kind}_{i:02d}.wav", audio, rate)
+            paths.append(wav)
+            if mp3:
+                m = encode_mp3(wav)
+                if m is not None:
+                    written.setdefault(f"{kind}_mp3", []).append(m)
         written[kind] = paths
     if source_paths:
         # copy the source clips next to the audio artifacts
@@ -97,12 +134,18 @@ def export_samples(
     return written
 
 
+_VIDEO_SUFFIXES = {".mp4", ".gif", ".webm", ".mov", ".avi"}
+
+
 def log_samples_table(writer, split: str, epoch: int,
                       written: Dict[str, list],
-                      filepaths: Optional[list] = None) -> None:
+                      filepaths: Optional[list] = None,
+                      videos: Optional[list] = None) -> None:
     """Log a W&B table of sample artifacts when the writer stack has a
     live wandb run (the reference's wandb.Table of
     video/original/predicted/generated audio, callbacks.py:60-134).
+    ``videos``: per-row source clip paths for a wandb.Video column
+    (reference callbacks.py:82-99); non-video suffixes are skipped.
     No-op for JSONL/TensorBoard-only stacks."""
     from movenet_tpu.utils.observability import MultiWriter, WandbWriter
 
@@ -114,14 +157,22 @@ def log_samples_table(writer, split: str, epoch: int,
         wandb = w._wandb
         kinds = [k for k in ("original", "predicted", "generated")
                  if written.get(k)]
-        columns = ["split", "epoch", "idx", "fp"] + [f"{k}_audio"
-                                                     for k in kinds]
+        columns = ["split", "epoch", "idx", "fp"]
+        if videos:
+            columns.append("video")
+        columns += [f"{k}_audio" for k in kinds]
         n = max(len(written[k]) for k in kinds)
         data = []
         for i in range(n):
             row = [split, epoch, i,
                    str(filepaths[i]) if filepaths and i < len(filepaths)
                    else ""]
+            if videos:
+                v = videos[i] if i < len(videos) else None
+                ok = v is not None and \
+                    Path(v).suffix.lower() in _VIDEO_SUFFIXES and \
+                    Path(v).exists()
+                row.append(wandb.Video(str(v)) if ok else None)
             for k in kinds:
                 row.append(wandb.Audio(str(written[k][i])))
             data.append(row)

@@ -59,6 +59,22 @@ def test_mesh_shapes():
     with pytest.raises(ValueError):
         create_mesh(MeshConfig(data=3, seq=2))
     assert local_batch_size(16, create_mesh(MeshConfig(data=8))) == 16
+    with pytest.raises(ValueError):
+        local_batch_size(15, create_mesh(MeshConfig(data=8)))
+
+
+def test_mesh_autofit_largest_divisor():
+    # batch 6 on 4 available devices must use 3 (largest divisor <= 4),
+    # not gcd(6, 4) = 2 which would idle a usable device
+    mesh = create_mesh(MeshConfig(data=-1, seq=1),
+                       devices=jax.devices()[:4], batch_size=6)
+    assert mesh.shape == {"data": 3, "seq": 1}
+    # divisible batch uses everything
+    mesh = create_mesh(MeshConfig(data=-1, seq=1), batch_size=16)
+    assert mesh.shape == {"data": 8, "seq": 1}
+    # prime batch larger than the device count -> single-device data axis
+    mesh = create_mesh(MeshConfig(data=-1, seq=2), batch_size=7)
+    assert mesh.shape == {"data": 1, "seq": 2}
 
 
 def test_dp_matches_single_device():
