@@ -120,6 +120,9 @@ class TrainingConfig:
     # gated-block kernels (requires sequence length % 128 == 0)
     fused_blocks: bool = False
     gradient_clipping: Optional[float] = 0.0
+    # run the optimizer over one concatenated parameter vector (same
+    # math, ~10x fewer device ops; see train/optim.py:flatten_transform)
+    flat_optimizer: bool = True
     batch_subsample_frac: Optional[float] = None
     val_batch_subsample_frac: Optional[float] = None
     seed: int = 0
@@ -283,6 +286,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--stack_size", type=int, default=3)
     p.add_argument("--global_classes", type=int, default=0)
     p.add_argument("--fused_blocks", type=_bool_flag, default=False)
+    p.add_argument("--flat_optimizer", type=_bool_flag, default=True)
     p.add_argument("--seed", type=int, default=0)
     # distributed (reference flags kept; TPU-native additions below)
     p.add_argument("--dist_backend", type=str, default=None)
@@ -360,6 +364,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         n_steps_per_epoch=args.n_steps_per_epoch,
         use_video=args.use_video,
         fused_blocks=args.fused_blocks,
+        flat_optimizer=args.flat_optimizer,
         gradient_clipping=args.gradient_clipping,
         batch_subsample_frac=args.batch_subsample_frac,
         val_batch_subsample_frac=args.val_batch_subsample_frac,

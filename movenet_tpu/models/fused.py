@@ -1,0 +1,189 @@
+"""Fused-kernel training forward: the WaveNet trunk as a chain of
+Pallas fused gated blocks (ops/pallas/gated_block).
+
+Works directly over the flax parameter pytree (like the samplers do),
+so the flax module stays the single owner of parameters and checkpoints
+are unchanged; gradients flow into the same tree through the kernels'
+custom VJPs.
+
+Used by the train/eval loss when ``TrainingConfig.fused_blocks`` is set
+and the sequence length is a multiple of the kernel tile (128) — which
+all canonical configs are (160k, and the power-of-ten crops).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from movenet_tpu.models.wavenet import WaveNet
+from movenet_tpu.ops.pallas.gated_block import TILE, fused_gated_block
+
+
+def supports_fused(model: WaveNet, time_steps: int) -> bool:
+    return time_steps % TILE == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _front_embed(cur_table, past_table, codes, dt, vocab):
+    """Front causal conv as embedding gathers:
+    h[t] = cur[codes[t]] + past[codes[t-1]] (zero at t=0).
+
+    Custom VJP: the default gather backward is a 320k-row scatter-add
+    into a tiny (V, R) table — slow on TPU.  The backward here is two
+    one-hot matmuls (dW = onehot(codes)^T @ dh), which the MXU eats.
+    """
+    cur = jnp.take(cur_table.astype(dt), codes, axis=0)
+    prev = jnp.take(past_table.astype(dt), codes, axis=0)
+    return cur + jnp.pad(prev, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+
+
+def _fe_fwd(cur_table, past_table, codes, dt, vocab):
+    out = _front_embed(cur_table, past_table, codes, dt, vocab)
+    return out, codes
+
+
+def _fe_bwd(dt, vocab, saved, dh):
+    codes = saved
+    table_dtype = jnp.float32  # parameters are always stored f32
+    r = dh.shape[-1]
+    onehot = jax.nn.one_hot(codes.reshape(-1), vocab, dtype=dt)
+    dcur = jax.lax.dot_general(
+        onehot, dh.reshape(-1, r).astype(dt),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # past[codes[t]] feeds h[t+1]: pair codes[:, :-1] with dh[:, 1:]
+    onehot_p = jax.nn.one_hot(codes[:, :-1].reshape(-1), vocab, dtype=dt)
+    dpast = jax.lax.dot_general(
+        onehot_p, dh[:, 1:, :].reshape(-1, r).astype(dt),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return dcur.astype(table_dtype), dpast.astype(table_dtype), None
+
+
+_front_embed.defvjp(_fe_fwd, _fe_bwd)
+
+
+def _fused_trunk(model: WaveNet, params, codes, video, labels,
+                 interpret: bool):
+    """Shared fused trunk: codes (+video/labels) -> skip_sum (B,T,S)."""
+    b, t = codes.shape
+    if t % TILE:
+        raise ValueError(
+            f"fused path needs T % {TILE} == 0, got {t}; use the "
+            "unfused WaveNet.train_logits")
+    r = model.residual_channels
+    dt = jnp.bfloat16 if model.compute_dtype == jnp.bfloat16 \
+        else jnp.float32
+    variables = {"params": params}
+
+    ctx = None
+    if video is not None:
+        ctx = model.apply(variables, video, method=WaveNet.encode_video)
+        if ctx.shape[1] != t:
+            raise ValueError(
+                "expected upsampled video and audio to have equal time "
+                f"lengths, found {ctx.shape[1]}, {t}")
+        ctx = ctx.astype(dt)
+    global_vec = None
+    if labels is not None and model.global_classes:
+        global_vec = model.apply(variables, labels,
+                                 method=WaveNet.embed_global)
+        global_vec = global_vec.astype(jnp.float32)
+
+    # front causal conv as embedding gathers (matmul-form backward)
+    h = _front_embed(params["front_cur"], params["front_past"], codes,
+                     dt, params["front_cur"].shape[0])
+
+    def block_weights(i):
+        blk = params[f"block_{i}"]
+        parts = [blk["w_cur"], blk["w_past"]]
+        b_fg = jnp.zeros((b, 2 * r), jnp.float32)
+        if ctx is not None:
+            parts.append(blk["context_proj"]["kernel"])
+            b_fg = b_fg + blk["context_proj"]["bias"][None, :]
+        if global_vec is not None:
+            b_fg = b_fg + jnp.dot(
+                global_vec, blk["global_proj"]["kernel"],
+                precision=jax.lax.Precision.HIGHEST)
+        w_fg = jnp.concatenate(
+            [p.astype(jnp.float32) for p in parts], axis=0)
+        w_out = jnp.concatenate(
+            [blk["residual_proj"]["kernel"],
+             blk["skip_proj"]["kernel"]], axis=1).astype(jnp.float32)
+        b_out = jnp.concatenate(
+            [blk["residual_proj"]["bias"], blk["skip_proj"]["bias"]])
+        return b_fg, w_fg, w_out, b_out
+
+    dilations = tuple(model.dilations)
+    try:
+        from movenet_tpu.ops.pallas.stack_kernel import (
+            fused_stack, pick_stack_tile, supports_recompute)
+
+        pick_stack_tile(t, dilations)  # raises if no common tile
+        # remat asks for the O(sum d) tails-recompute VJP when possible
+        strategy = "recompute" if (
+            model.remat and supports_recompute(t, dilations)) else "auto"
+        per_layer = [block_weights(i) for i in range(len(dilations))]
+        b_fg_all = jnp.concatenate([w[0] for w in per_layer], axis=0)
+        w_fg_all = jnp.stack([w[1] for w in per_layer])
+        w_out_all = jnp.stack([w[2] for w in per_layer])
+        b_out_all = jnp.stack([w[3] for w in per_layer])
+        return fused_stack(h, ctx, b_fg_all, w_fg_all, w_out_all,
+                           b_out_all, dilations, interpret, strategy)
+    except ValueError:
+        pass  # fall back to the per-block chain
+
+    skip_sum = None
+    for i, d in enumerate(dilations):
+        b_fg, w_fg, w_out, b_out = block_weights(i)
+        h, skip = fused_gated_block(h, ctx, b_fg, w_fg, w_out,
+                                    b_out.reshape(1, -1), d, interpret)
+        skip_sum = skip if skip_sum is None else skip_sum + skip
+    return skip_sum
+
+
+def fused_train_loss(model: WaveNet, params, codes: jnp.ndarray,
+                     video=None, labels=None, parity: bool = True,
+                     interpret: bool = False):
+    """codes -> (mean NLL, accuracy), fully kernelized: fused trunk +
+    fused head/CE (logits never materialize in HBM)."""
+    from movenet_tpu.ops.pallas.head_loss import fused_head_loss
+
+    b, t = codes.shape
+    skip_sum = _fused_trunk(model, params, codes, video, labels,
+                            interpret)
+    targets_tb = jnp.roll(codes, -1, axis=1).T          # (T, B)
+    loss_sum, match = fused_head_loss(
+        skip_sum, targets_tb, params["head1"]["kernel"],
+        params["head1"]["bias"], params["head2"]["kernel"],
+        params["head2"]["bias"], model.receptive_fields, parity,
+        interpret)
+    n_valid = b * (t - model.receptive_fields)
+    return loss_sum / n_valid, match / n_valid
+
+
+def fused_train_logits(model: WaveNet, params, codes: jnp.ndarray,
+                       video: Optional[jnp.ndarray] = None,
+                       labels: Optional[jnp.ndarray] = None,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(B, T) codes -> (B, T-RF, C) logits, Pallas-fused trunk.
+
+    Same mathematics as ``WaveNet.train_logits``; the trunk runs through
+    the fused kernels (whole-stack when a common tile exists).  Prefer
+    ``fused_train_loss`` in training — it also fuses the head and CE so
+    the logits never materialize.
+    """
+    b, t = codes.shape
+    skip_sum = _fused_trunk(model, params, codes, video, labels,
+                            interpret)
+    y = jax.nn.leaky_relu(skip_sum.astype(jnp.float32))
+    y = jnp.dot(y.reshape(-1, y.shape[-1]), params["head1"]["kernel"],
+                precision=jax.lax.Precision.HIGHEST) \
+        + params["head1"]["bias"]
+    logits = jnp.dot(jax.nn.leaky_relu(y), params["head2"]["kernel"],
+                     precision=jax.lax.Precision.HIGHEST) \
+        + params["head2"]["bias"]
+    logits = logits.reshape(b, t, -1)
+    return logits[:, model.receptive_fields - 1:-1, :]

@@ -54,6 +54,53 @@ def _ring_offsets(dilations):
     return offs, total
 
 
+def _pad8(n: int) -> int:
+    return max(8, ((n + 7) // 8) * 8)
+
+
+def supports_recompute(t: int, dilations) -> bool:
+    """The tails-recompute VJP needs every dilation inside one tile."""
+    try:
+        tile = pick_stack_tile(t, dilations)
+    except ValueError:
+        return False
+    return all(d < tile for d in dilations)
+
+
+# hsave above this budget flips the auto strategy to tails-recompute
+_SAVE_ALL_BUDGET_BYTES = 1 << 30
+
+
+def resolve_strategy(strategy: str, x_shape, n_layers: int,
+                     dilations, itemsize: int = 2) -> str:
+    """Pick the VJP strategy.
+
+    "save" keeps every layer input in HBM for the backward (measured
+    faster on v5e for the canonical configs: the extra DMA hides under
+    the MXU-bound layer matmuls, while recompute adds MXU work to the
+    critical path).  "recompute" saves only per-tile ring snapshots —
+    O(sum(dilations)) rows instead of (L, B, T, R) — for long-sequence /
+    deep configs where hsave would blow the HBM budget (the kernel-level
+    analogue of ModelConfig.remat).  "auto" chooses by hsave size.
+    """
+    if strategy not in ("auto", "save", "recompute"):
+        raise ValueError(f"unknown fused_stack strategy: {strategy!r}")
+    b, t, r = x_shape
+    can_recompute = supports_recompute(t, dilations)
+    if strategy == "recompute":
+        if not can_recompute:
+            raise ValueError(
+                "recompute strategy needs every dilation inside one "
+                f"tile (T={t}, dilations={tuple(dilations)})")
+        return "recompute"
+    if strategy == "save":
+        return "save"
+    hsave_bytes = n_layers * b * t * r * itemsize
+    if can_recompute and hsave_bytes > _SAVE_ALL_BUDGET_BYTES:
+        return "recompute"
+    return "save"
+
+
 # --------------------------------------------------------------- forward
 def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
                 out_dtype, n_batch: int):
@@ -147,6 +194,291 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         interpret=interpret,
     )(x, ctx_arg, b_fg, w_fg, w_out, b_out)
     return skip, hsave
+
+
+# ----------------------------------------------- forward (tails mode)
+def _fwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
+                      tile: int, out_dtype, n_batch: int):
+    """Forward that saves only per-tile ring snapshots for the backward.
+
+    The residual stream is rounded to the storage dtype after every
+    layer so the backward's recompute (same ops from the same rounded
+    inputs) reproduces each layer input bit-for-bit.
+    """
+    n_layers = len(dilations)
+    offs, _ = _ring_offsets(dilations)
+
+    def kernel(x_ref, ctx_ref, b_fg_ref, w_fg_ref, w_out_ref, b_out_ref,
+               skip_ref, tails_ref, ring_ref):
+        b_idx = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        @pl.when(ti == 0)
+        def _():
+            ring_ref[:, :] = jnp.zeros(ring_ref.shape, jnp.float32)
+
+        # snapshot the tap state (h_l[t0-d_l : t0] per layer) for the
+        # backward recompute; every ring value is exactly representable
+        # in out_dtype (x is out_dtype and h is rounded per layer)
+        tails_ref[0, 0] = ring_ref[:, :].astype(out_dtype)
+
+        h = x_ref[0].astype(jnp.float32)
+        ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
+        skip_acc = jnp.zeros((tile, s), jnp.float32)
+
+        for l, d in enumerate(dilations):
+            shifted = jnp.concatenate(
+                [ring_ref[pl.ds(offs[l], d), :], h[: tile - d, :]],
+                axis=0)
+            ring_ref[pl.ds(offs[l], d), :] = h[tile - d:, :]
+            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            hp = jnp.concatenate(parts, axis=1)
+            fg = _dot(hp, w_fg_ref[l]) \
+                + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
+            gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
+            out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
+            skip_acc = skip_acc + out[:, r:]
+            h = out[:, :r] + h
+            if out_dtype != jnp.float32:
+                h = h.astype(out_dtype).astype(jnp.float32)
+
+        skip_ref[0] = skip_acc.astype(out_dtype)
+
+    return kernel
+
+
+def _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
+                      interpret: bool):
+    batch, t_total, r = x.shape
+    s = w_out.shape[2] - r
+    has_ctx = ctx is not None
+    tile = pick_stack_tile(t_total, dilations)
+    n_tiles = t_total // tile
+    ring_pad = _pad8(_ring_offsets(dilations)[1])
+
+    def tmap(b, i):
+        return (b, i, 0)
+
+    if has_ctx:
+        ctx_spec = pl.BlockSpec((1, tile, r), tmap,
+                                memory_space=pltpu.VMEM)
+        ctx_arg = ctx
+    else:
+        ctx_spec = pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        ctx_arg = jnp.zeros((1, 1), jnp.int32)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    skip, tails = pl.pallas_call(
+        _fwd_kernel_tails(tuple(dilations), r, s, has_ctx, tile,
+                          x.dtype, batch),
+        grid=(batch, n_tiles),
+        in_specs=[pl.BlockSpec((1, tile, r), tmap,
+                               memory_space=pltpu.VMEM),
+                  ctx_spec, vm, vm, vm, vm],
+        out_specs=(
+            pl.BlockSpec((1, tile, s), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ring_pad, r),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_total, s), x.dtype),
+            jax.ShapeDtypeStruct((batch, n_tiles, ring_pad, r), x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ring_pad, r), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ctx_arg, b_fg, w_fg, w_out, b_out)
+    return skip, tails
+
+
+# ---------------------------------------------- backward (tails mode)
+def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
+                      tile: int, n_tiles: int, n_batch: int, in_dtype):
+    n_layers = len(dilations)
+    offs, _ = _ring_offsets(dilations)
+
+    def kernel(x_ref, tails_ref, ctx_ref, b_fg_ref, w_fg_ref, w_fg_t_ref,
+               w_out_ref, w_out_t_ref, b_out_ref, dskip_ref,
+               dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
+               db_out_ref,
+               hstack, dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
+               dbfg_acc):
+        b_idx = pl.program_id(0)
+        rj = pl.program_id(1)
+        ti = n_tiles - 1 - rj
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+
+        @pl.when(jnp.logical_and(b_idx == 0, rj == 0))
+        def _():
+            dwfg_acc[:, :, :] = jnp.zeros(dwfg_acc.shape, jnp.float32)
+            dwout_acc[:, :, :] = jnp.zeros(dwout_acc.shape, jnp.float32)
+            dbout_acc[:, :] = jnp.zeros(dbout_acc.shape, jnp.float32)
+
+        @pl.when(rj == 0)
+        def _():
+            dfgp_ring[:, :] = jnp.zeros(dfgp_ring.shape, jnp.float32)
+            dbfg_acc[:, :] = jnp.zeros(dbfg_acc.shape, jnp.float32)
+
+        ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
+
+        # ---- phase 1: rebuild every layer input for this tile from x
+        # and the forward's ring snapshot (bit-identical: same ops on
+        # the same rounded values)
+        h = x_ref[0].astype(jnp.float32)
+        for l, d in enumerate(dilations):
+            hstack[l] = h
+            if l == n_layers - 1:
+                break  # the top layer's OUTPUT is never needed
+            shifted = jnp.concatenate(
+                [tails_ref[0, 0, pl.ds(offs[l], d), :].astype(
+                    jnp.float32), h[: tile - d, :]], axis=0)
+            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            hp = jnp.concatenate(parts, axis=1)
+            fg = _dot(hp, w_fg_ref[l]) \
+                + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
+            gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
+            # only the residual half of the output projection is needed
+            res = _dot(gated, w_out_ref[l][:, :r]) \
+                + b_out_ref[pl.ds(l, 1), :][:, :r]
+            h = res + h
+            if in_dtype != jnp.float32:
+                h = h.astype(in_dtype).astype(jnp.float32)
+
+        # ---- phase 2: top-down gradient sweep (same as save-all mode,
+        # with shifted taps rebuilt from hstack + tails)
+        dh = jnp.zeros((tile, r), jnp.float32)
+        dskip = dskip_ref[0].astype(jnp.float32)
+        dctx_acc = jnp.zeros((tile, r), jnp.float32) if has_ctx else None
+
+        for l in reversed(range(n_layers)):
+            d = dilations[l]
+            h = hstack[l]
+            shifted = jnp.concatenate(
+                [tails_ref[0, 0, pl.ds(offs[l], d), :].astype(
+                    jnp.float32), h[: tile - d, :]], axis=0)
+            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            hp = jnp.concatenate(parts, axis=1)
+            fg = _dot(hp, w_fg_ref[l]) \
+                + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
+            tf = jnp.tanh(fg[:, :r])
+            sg = jax.nn.sigmoid(fg[:, r:])
+            gated = tf * sg
+
+            dout = jnp.concatenate([dh, dskip], axis=1)
+            dgated = _dot(dout, w_out_t_ref[l])
+            df = dgated * sg * (1.0 - tf * tf)
+            dg = dgated * tf * sg * (1.0 - sg)
+            dfg = jnp.concatenate([df, dg], axis=1)
+
+            dwfg_acc[l] += _dot_t0(hp, dfg)
+            dwout_acc[l] += _dot_t0(gated, dout)
+            dbout_acc[pl.ds(l, 1), :] += jnp.sum(dout, axis=0,
+                                                 keepdims=True)
+            dbfg_acc[pl.ds(l, 1), :] += jnp.sum(dfg, axis=0,
+                                                keepdims=True)
+
+            dfg_w = _dot(dfg, w_fg_t_ref[l])
+            dh = dh + dfg_w[:, :r]
+            dfg_p = dfg_w[:, r: 2 * r]
+            saved = dfgp_ring[pl.ds(l * tile, tile), :]
+            future = jnp.where(row < tile - d,
+                               pltpu.roll(dfg_p, tile - d, 0),
+                               pltpu.roll(saved, tile - d, 0))
+            dh = dh + future
+            dfgp_ring[pl.ds(l * tile, tile), :] = dfg_p
+            if has_ctx:
+                dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
+
+        dx_ref[0] = dh.astype(in_dtype)
+        if has_ctx:
+            dctx_ref[0] = dctx_acc.astype(in_dtype)
+        else:
+            dctx_ref[0] = jnp.zeros((tile, r), in_dtype)
+
+        @pl.when(rj == n_tiles - 1)
+        def _():
+            for l in range(n_layers):
+                db_fg_ref[pl.ds(l * n_batch + b_idx, 1), :] = \
+                    dbfg_acc[pl.ds(l, 1), :]
+
+        @pl.when(jnp.logical_and(b_idx == n_batch - 1,
+                                 rj == n_tiles - 1))
+        def _():
+            dw_fg_ref[:, :, :] = dwfg_acc[:, :, :]
+            dw_out_ref[:, :, :] = dwout_acc[:, :, :]
+            db_out_ref[:, :] = dbout_acc[:, :]
+
+    return kernel
+
+
+def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
+                      dilations, interpret: bool):
+    batch, t_total, r = x.shape
+    s = w_out.shape[2] - r
+    has_ctx = ctx is not None
+    tile = pick_stack_tile(t_total, dilations)
+    n_tiles = t_total // tile
+    w_in = w_fg.shape[1]
+    n_layers = len(dilations)
+
+    def rmap(b, j):
+        return (b, n_tiles - 1 - j, 0)
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if has_ctx:
+        ctx_spec = pl.BlockSpec((1, tile, r), rmap,
+                                memory_space=pltpu.VMEM)
+        ctx_arg = ctx
+    else:
+        ctx_spec = pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                                memory_space=pltpu.SMEM)
+        ctx_arg = jnp.zeros((1, 1), jnp.int32)
+    ring_pad = tails.shape[2]
+
+    outs = pl.pallas_call(
+        _bwd_kernel_tails(tuple(dilations), r, s, has_ctx, tile,
+                          n_tiles, batch, x.dtype),
+        grid=(batch, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ring_pad, r),
+                         lambda b, j: (b, n_tiles - 1 - j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            ctx_spec, vm, vm, vm, vm, vm, vm,
+            pl.BlockSpec((1, tile, s), rmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            vm, vm, vm, vm,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_total, r), x.dtype),
+            jax.ShapeDtypeStruct((batch, t_total, r), x.dtype),
+            jax.ShapeDtypeStruct((n_layers * batch, 2 * r), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, w_in, 2 * r), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, r, r + s), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, r + s), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_layers, tile, r), jnp.float32),   # hstack
+            pltpu.VMEM((n_layers * tile, r), jnp.float32),  # dfgp rings
+            pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
+            pltpu.VMEM((n_layers, r, r + s), jnp.float32),
+            pltpu.VMEM((n_layers, r + s), jnp.float32),
+            pltpu.VMEM((n_layers, 2 * r), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, tails, ctx_arg, b_fg, w_fg, jnp.swapaxes(w_fg, 1, 2),
+      w_out, jnp.swapaxes(w_out, 1, 2), b_out, dskip)
+    return outs
 
 
 # -------------------------------------------------------------- backward
@@ -343,9 +675,9 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
 
 
 # ------------------------------------------------------------ public op
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_stack(x, ctx, b_fg, w_fg, w_out, b_out, dilations: tuple,
-                interpret: bool = False):
+                interpret: bool = False, strategy: str = "auto"):
     """All gated blocks in one kernel.
 
     Args:
@@ -353,21 +685,49 @@ def fused_stack(x, ctx, b_fg, w_fg, w_out, b_out, dilations: tuple,
       ctx: (B, T, R) or None.
       b_fg: (L*B, 2R) per-(layer, batch) fg bias rows.
       w_fg: (L, 2R|3R, 2R); w_out: (L, R, R+S); b_out: (L, R+S).
+      strategy: VJP memory strategy — "save" (keep per-layer inputs,
+        fastest), "recompute" (per-tile ring snapshots only, O(sum d)
+        memory), or "auto" (save unless hsave exceeds the HBM budget).
+        See resolve_strategy.
     Returns:
       skip_sum (B, T, S).
     """
-    skip, _ = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
-                          dilations, interpret)
+    mode = resolve_strategy(strategy, x.shape, len(dilations), dilations,
+                            x.dtype.itemsize)
+    if mode == "recompute":
+        skip, _ = _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out, b_out,
+                                    dilations, interpret)
+    else:
+        skip, _ = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
+                              dilations, interpret)
     return skip
 
 
-def _fs_fwd(x, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret):
+def _fs_fwd(x, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
+            strategy):
+    mode = resolve_strategy(strategy, x.shape, len(dilations), dilations,
+                            x.dtype.itemsize)
+    if mode == "recompute":
+        skip, tails = _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out,
+                                        b_out, dilations, interpret)
+        return skip, (x, tails, ctx, b_fg, w_fg, w_out, b_out)
     skip, hsave = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
                               dilations, interpret)
     return skip, (hsave, ctx, b_fg, w_fg, w_out, x.shape)
 
 
-def _fs_bwd(dilations, interpret, saved, dskip):
+def _fs_bwd(dilations, interpret, strategy, saved, dskip):
+    b, t, s = dskip.shape
+    if len(saved) == 7:  # recompute mode residuals
+        x, tails, ctx, b_fg, w_fg, w_out, b_out = saved
+        dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas_tails(
+            x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip, dilations,
+            interpret)
+        if ctx is None:
+            dctx = None
+        return (dx, dctx, db_fg.astype(b_fg.dtype),
+                dw_fg.astype(w_fg.dtype), dw_out.astype(w_out.dtype),
+                db_out.astype(jnp.float32))
     hsave, ctx, b_fg, w_fg, w_out, x_shape = saved
     dh_top = jnp.zeros(x_shape, hsave.dtype)
     dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(

@@ -89,3 +89,90 @@ def test_stack_gradients_match(dilations, has_ctx):
             np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4,
             err_msg=f"grad mismatch: {name} ({dilations}, "
                     f"ctx={has_ctx})")
+
+
+@pytest.mark.parametrize("has_ctx", [False, True])
+def test_stack_save_all_mode(has_ctx):
+    """Dilations spanning tiles (d >= tile) take the save-all VJP path;
+    tails-recompute requires every dilation inside one tile."""
+    from movenet_tpu.ops.pallas.stack_kernel import (
+        pick_stack_tile, supports_recompute)
+
+    dilations = (1, 256, 512)
+    t = 1024
+    assert pick_stack_tile(t, dilations) == 512
+    assert not supports_recompute(t, dilations)
+    x, ctx, b_fg, w_fg, w_out, b_out = _make(dilations, has_ctx, t=t)
+    n_batch = x.shape[0]
+
+    got = fused_stack(x, ctx, b_fg, w_fg, w_out, b_out,
+                      tuple(dilations), True)
+    want = _reference_stack(x, ctx, b_fg, w_fg, w_out, b_out,
+                            dilations, n_batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    def loss_f(*args):
+        return jnp.sum(jnp.sin(fused_stack(*args, tuple(dilations),
+                                           True)))
+
+    def loss_r(*args):
+        return jnp.sum(jnp.sin(_reference_stack(*args, dilations,
+                                                n_batch)))
+
+    argnums = (0, 2, 3, 4, 5) if not has_ctx else (0, 1, 2, 3, 4, 5)
+    args = (x, ctx, b_fg, w_fg, w_out, b_out)
+    gf = jax.grad(loss_f, argnums=argnums)(*args)
+    gr = jax.grad(loss_r, argnums=argnums)(*args)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("dilations", [(1, 2, 4, 1, 2, 4),
+                                       (1, 128, 256)])
+@pytest.mark.parametrize("has_ctx", [False, True])
+def test_stack_recompute_strategy_matches_save(dilations, has_ctx):
+    """The tails-recompute VJP must agree with save-all: identical
+    forward, matching gradients (recompute is bit-identical math on the
+    same rounded inputs)."""
+    from movenet_tpu.ops.pallas.stack_kernel import supports_recompute
+
+    assert supports_recompute(512, dilations)
+    x, ctx, b_fg, w_fg, w_out, b_out = _make(dilations, has_ctx)
+    args = (x, ctx, b_fg, w_fg, w_out, b_out)
+
+    def loss(strategy):
+        def f(*a):
+            return jnp.sum(jnp.sin(fused_stack(
+                *a, tuple(dilations), True, strategy)))
+        return f
+
+    argnums = (0, 2, 3, 4, 5) if not has_ctx else (0, 1, 2, 3, 4, 5)
+    v_save = loss("save")(*args)
+    v_rec = loss("recompute")(*args)
+    np.testing.assert_allclose(np.asarray(v_rec), np.asarray(v_save),
+                               rtol=1e-6)
+    g_save = jax.grad(loss("save"), argnums=argnums)(*args)
+    g_rec = jax.grad(loss("recompute"), argnums=argnums)(*args)
+    for a, b_ in zip(g_rec, g_save):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_resolve_strategy_rules():
+    from movenet_tpu.ops.pallas.stack_kernel import resolve_strategy
+
+    dil = (1, 2, 4) * 3
+    # small hsave -> save-all wins on speed
+    assert resolve_strategy("auto", (2, 160_000, 64), 9, dil, 2) == "save"
+    # huge hsave (> 1 GiB) -> recompute
+    assert resolve_strategy("auto", (16, 160_000, 64), 9, dil, 2) == \
+        "recompute"
+    # explicit requests are honored / validated
+    assert resolve_strategy("save", (2, 512, 16), 3, (1, 256, 512), 4) \
+        == "save"
+    with pytest.raises(ValueError, match="inside one tile"):
+        resolve_strategy("recompute", (2, 1024, 16), 3, (1, 256, 512), 4)
+    with pytest.raises(ValueError, match="unknown"):
+        resolve_strategy("fastest", (2, 512, 16), 3, dil, 4)
