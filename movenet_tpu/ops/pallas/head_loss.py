@@ -64,12 +64,18 @@ def _nll_rows(z, p, onehot, parity: bool):
 
 
 def _match_rows(z, tgt_col):
-    # first-max index == target (matches jnp.argmax semantics)
+    # first-max index == target (matches jnp.argmax semantics):
+    # target holds the max AND no earlier column ties it.  Formulated
+    # as cross-lane float sums — the int-min reduction Mosaic emits for
+    # the where/min formulation costs ~1 ms/step on v5e.
     m = jnp.max(z, axis=-1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    first_max = jnp.min(jnp.where(z == m, col, z.shape[1]), axis=-1,
-                        keepdims=True)
-    return (first_max == tgt_col).astype(jnp.float32)
+    is_max = (z == m).astype(jnp.float32)
+    onehot = (col == tgt_col).astype(jnp.float32)
+    picked_max = jnp.sum(is_max * onehot, axis=-1, keepdims=True)
+    earlier = jnp.sum(is_max * (col < tgt_col).astype(jnp.float32),
+                      axis=-1, keepdims=True)
+    return picked_max * (earlier < 0.5).astype(jnp.float32)
 
 
 def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,

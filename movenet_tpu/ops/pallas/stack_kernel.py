@@ -58,6 +58,21 @@ def _pad8(n: int) -> int:
     return max(8, ((n + 7) // 8) * 8)
 
 
+def _split_ring_offsets(dilations, tile: int):
+    """Ring offsets with the d<tile layers packed FIRST, so the prefix
+    of the ring is exactly the per-tile boundary state ("tails") the
+    backward needs for those layers; returns (offs, small_total,
+    total)."""
+    order = [l for l, d in enumerate(dilations) if d < tile] + \
+            [l for l, d in enumerate(dilations) if d >= tile]
+    offs, tot = [0] * len(dilations), 0
+    for l in order:
+        offs[l] = tot
+        tot += dilations[l]
+    small_total = sum(d for d in dilations if d < tile)
+    return offs, small_total, tot
+
+
 def supports_recompute(t: int, dilations) -> bool:
     """The tails-recompute VJP needs every dilation inside one tile."""
     try:
@@ -105,10 +120,11 @@ def resolve_strategy(strategy: str, x_shape, n_layers: int,
 def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
                 out_dtype, n_batch: int):
     n_layers = len(dilations)
-    offs, _ = _ring_offsets(dilations)
+    offs, small_total, _ = _split_ring_offsets(dilations, tile)
+    small_pad = _pad8(small_total)
 
     def kernel(x_ref, ctx_ref, b_fg_ref, w_fg_ref, w_out_ref, b_out_ref,
-               skip_ref, hsave_ref, ring_ref):
+               skip_ref, hsave_ref, tfsg_ref, tails_ref, ring_ref):
         b_idx = pl.program_id(0)
         ti = pl.program_id(1)
         t0 = ti * tile
@@ -116,6 +132,11 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
         @pl.when(ti == 0)
         def _():
             ring_ref[:, :] = jnp.zeros(ring_ref.shape, jnp.float32)
+
+        # snapshot the d<tile boundary rows for the backward (those
+        # layers then need no full previous-tile reload)
+        tails_ref[0, 0] = ring_ref[pl.ds(0, small_pad), :].astype(
+            out_dtype)
 
         h = x_ref[0].astype(jnp.float32)
         ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
@@ -136,7 +157,14 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
             hp = jnp.concatenate(parts, axis=1)
             fg = _dot(hp, w_fg_ref[l]) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
+            tf = jnp.tanh(fg[:, :r])
+            sg = jax.nn.sigmoid(fg[:, r:])
+            # packed [tf | sg]: 2R = 128 lanes exactly, so this write is
+            # padding-free; the backward reads it instead of re-running
+            # the K=192 fg matmul (the largest FLOP class in the VJP)
+            tfsg_ref[l, 0] = jnp.concatenate([tf, sg],
+                                             axis=1).astype(out_dtype)
+            gated = tf * sg
             out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
             skip_acc = skip_acc + out[:, r:]
             h = out[:, :r] + h
@@ -154,7 +182,8 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
     n_layers = len(dilations)
     tile = pick_stack_tile(t_total, dilations)
     n_tiles = t_total // tile
-    ring_rows = _ring_offsets(dilations)[1]
+    _, small_total, ring_rows = _split_ring_offsets(dilations, tile)
+    small_pad = _pad8(small_total)
 
     def tmap(b, i):
         return (b, i, 0)
@@ -169,7 +198,7 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         ctx_arg = jnp.zeros((1, 1), jnp.int32)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    skip, hsave = pl.pallas_call(
+    skip, hsave, tfsg, tails = pl.pallas_call(
         _fwd_kernel(tuple(dilations), r, s, has_ctx, tile, x.dtype,
                     batch),
         grid=(batch, n_tiles),
@@ -181,19 +210,29 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
             pl.BlockSpec((n_layers, 1, tile, r),
                          lambda b, i: (0, b, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 1, tile, 2 * r),
+                         lambda b, i: (0, b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, small_pad, r),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, t_total, s), x.dtype),
             jax.ShapeDtypeStruct((n_layers, batch, t_total, r), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, batch, t_total, 2 * r),
+                                 x.dtype),
+            jax.ShapeDtypeStruct((batch, n_tiles, small_pad, r),
+                                 x.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((max(ring_rows, 8), r), jnp.float32),
+            pltpu.VMEM((max(ring_rows, small_pad, 8), r), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, ctx_arg, b_fg, w_fg, w_out, b_out)
-    return skip, hsave
+    return skip, hsave, tfsg, tails
 
 
 # ----------------------------------------------- forward (tails mode)
@@ -482,7 +521,7 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
 
 
 # -------------------------------------------------------------- backward
-def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
+def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                 dilations, interpret: bool):
     n_layers, batch, t_total, r = hsave.shape
     s = w_out.shape[2] - r
@@ -490,6 +529,7 @@ def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
     tile = pick_stack_tile(t_total, dilations)
     n_tiles = t_total // tile
     w_in = w_fg.shape[1]
+    small_pad = tails.shape[2]
     # anti-causal rings need at least `tile` rows per layer
     offs2, total2 = [], 0
     for d in dilations:
@@ -498,13 +538,6 @@ def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
 
     def rmap(b, j):
         return (b, n_tiles - 1 - j, 0)
-
-    def hmap_shift(l, d):
-        if d >= tile:
-            return lambda b, j: (
-                l, b, jnp.maximum((n_tiles - 1 - j) - d // tile, 0), 0)
-        return lambda b, j: (
-            l, b, jnp.maximum((n_tiles - 1 - j) - 1, 0), 0)
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     if has_ctx:
@@ -519,10 +552,23 @@ def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
     hsave_spec = pl.BlockSpec((n_layers, 1, tile, r),
                               lambda b, j: (0, b, n_tiles - 1 - j, 0),
                               memory_space=pltpu.VMEM)
+    tfsg_spec = pl.BlockSpec((n_layers, 1, tile, 2 * r),
+                             lambda b, j: (0, b, n_tiles - 1 - j, 0),
+                             memory_space=pltpu.VMEM)
+    tails_spec = pl.BlockSpec((1, 1, small_pad, r),
+                              lambda b, j: (b, n_tiles - 1 - j, 0, 0),
+                              memory_space=pltpu.VMEM)
+    # full previous-tile reloads only for dilations spanning tiles; the
+    # d<tile boundary rows come from the forward's ring snapshot
+    big_layers = [l for l, d in enumerate(dilations) if d >= tile]
     shift_specs = [
-        pl.BlockSpec((1, 1, tile, r), hmap_shift(l, d),
+        pl.BlockSpec((1, 1, tile, r),
+                     lambda b, j, l=l, d=dilations[l]: (
+                         l, b,
+                         jnp.maximum((n_tiles - 1 - j) - d // tile, 0),
+                         0),
                      memory_space=pltpu.VMEM)
-        for l, d in enumerate(dilations)
+        for l in big_layers
     ]
 
     outs = pl.pallas_call(
@@ -530,9 +576,7 @@ def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
                            n_tiles, batch,
                            hsave.dtype, tuple(offs2)),
         grid=(batch, n_tiles),
-        in_specs=[hsave_spec, ctx_spec, vm, vm, vm, vm, vm,
-                  pl.BlockSpec((1, tile, r), rmap,
-                               memory_space=pltpu.VMEM),
+        in_specs=[hsave_spec, tfsg_spec, tails_spec, ctx_spec, vm, vm,
                   pl.BlockSpec((1, tile, s), rmap,
                                memory_space=pltpu.VMEM),
                   *shift_specs],
@@ -557,11 +601,11 @@ def _bwd_pallas(hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip,
             pltpu.VMEM((n_layers, 2 * r), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(hsave, ctx_arg, b_fg, w_fg,
-      jnp.swapaxes(w_fg, 1, 2), w_out, jnp.swapaxes(w_out, 1, 2),
-      dh_top, dskip, *([hsave] * n_layers))
+    )(hsave, tfsg, tails, ctx_arg,
+      jnp.swapaxes(w_fg, 1, 2), jnp.swapaxes(w_out, 1, 2),
+      dskip, *([hsave] * len(big_layers)))
     return outs
 
 
@@ -569,14 +613,17 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                        n_batch, in_dtype, ring_offs):
     """_bwd_kernel with explicit (padded) ring offsets."""
     n_layers = len(dilations)
+    tail_offs, _, _ = _split_ring_offsets(dilations, tile)
+    big_layers = [l for l, d in enumerate(dilations) if d >= tile]
+    shift_slot = {l: i for i, l in enumerate(big_layers)}
 
     def kernel(*refs):
-        (hsave_ref, ctx_ref, b_fg_ref, w_fg_ref, w_fg_t_ref, w_out_ref,
-         w_out_t_ref, dh_top_ref, dskip_ref, *rest) = refs
-        shift_refs = rest[:n_layers]
+        (hsave_ref, tfsg_ref, tails_ref, ctx_ref, w_fg_t_ref,
+         w_out_t_ref, dskip_ref, *rest) = refs
+        shift_refs = rest[:len(big_layers)]
         (dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
          db_out_ref, dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
-         dbfg_acc) = rest[n_layers:]
+         dbfg_acc) = rest[len(big_layers):]
 
         b_idx = pl.program_id(0)
         rj = pl.program_id(1)
@@ -596,7 +643,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             dbfg_acc[:, :] = jnp.zeros(dbfg_acc.shape, jnp.float32)
 
         ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
-        dh = dh_top_ref[0].astype(jnp.float32)
+        dh = jnp.zeros((tile, r), jnp.float32)
         dskip = dskip_ref[0].astype(jnp.float32)
         dctx_acc = jnp.zeros((tile, r), jnp.float32) if has_ctx else None
 
@@ -605,21 +652,21 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             off = ring_offs[l]
             h = hsave_ref[l, 0].astype(jnp.float32)
             if d >= tile:
-                shifted = shift_refs[l][0, 0].astype(jnp.float32)
+                shifted = shift_refs[shift_slot[l]][0, 0].astype(
+                    jnp.float32)
                 shifted = jnp.where(t0 < d, jnp.zeros_like(shifted),
                                     shifted)
             else:
-                prev = shift_refs[l][0, 0].astype(jnp.float32)
-                prev = jnp.where(ti == 0, jnp.zeros_like(prev), prev)
-                shifted = jnp.where(row < d,
-                                    pltpu.roll(prev, d, 0),
-                                    pltpu.roll(h, d, 0))
+                # boundary rows from the forward's ring snapshot (zeros
+                # at ti == 0 since the ring starts zeroed)
+                shifted = jnp.concatenate(
+                    [tails_ref[0, 0, pl.ds(tail_offs[l], d), :].astype(
+                        jnp.float32), h[: tile - d, :]], axis=0)
             parts = [h, shifted] + ([ctx] if has_ctx else [])
             hp = jnp.concatenate(parts, axis=1)
-            fg = _dot(hp, w_fg_ref[l]) \
-                + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            tf = jnp.tanh(fg[:, :r])
-            sg = jax.nn.sigmoid(fg[:, r:])
+            tfsg = tfsg_ref[l, 0].astype(jnp.float32)
+            tf = tfsg[:, :r]
+            sg = tfsg[:, r:]
             gated = tf * sg
 
             dout = jnp.concatenate([dh, dskip], axis=1)
@@ -698,8 +745,8 @@ def fused_stack(x, ctx, b_fg, w_fg, w_out, b_out, dilations: tuple,
         skip, _ = _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out, b_out,
                                     dilations, interpret)
     else:
-        skip, _ = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
-                              dilations, interpret)
+        skip, _, _, _ = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
+                                    dilations, interpret)
     return skip
 
 
@@ -711,31 +758,25 @@ def _fs_fwd(x, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
         skip, tails = _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out,
                                         b_out, dilations, interpret)
         return skip, (x, tails, ctx, b_fg, w_fg, w_out, b_out)
-    skip, hsave = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
-                              dilations, interpret)
-    return skip, (hsave, ctx, b_fg, w_fg, w_out, x.shape)
+    skip, hsave, tfsg, tails = _fwd_pallas(x, ctx, b_fg, w_fg, w_out,
+                                           b_out, dilations, interpret)
+    return skip, (hsave, tfsg, tails, ctx, w_fg, w_out)
 
 
 def _fs_bwd(dilations, interpret, strategy, saved, dskip):
-    b, t, s = dskip.shape
     if len(saved) == 7:  # recompute mode residuals
         x, tails, ctx, b_fg, w_fg, w_out, b_out = saved
         dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas_tails(
             x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip, dilations,
             interpret)
-        if ctx is None:
-            dctx = None
-        return (dx, dctx, db_fg.astype(b_fg.dtype),
-                dw_fg.astype(w_fg.dtype), dw_out.astype(w_out.dtype),
-                db_out.astype(jnp.float32))
-    hsave, ctx, b_fg, w_fg, w_out, x_shape = saved
-    dh_top = jnp.zeros(x_shape, hsave.dtype)
-    dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
-        hsave, ctx, b_fg, w_fg, w_out, dh_top, dskip, dilations,
-        interpret)
+    else:
+        hsave, tfsg, tails, ctx, w_fg, w_out = saved
+        dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
+            hsave, tfsg, tails, ctx, w_fg, w_out, dskip, dilations,
+            interpret)
     if ctx is None:
         dctx = None
-    return (dx, dctx, db_fg.astype(b_fg.dtype),
+    return (dx, dctx, db_fg.astype(jnp.float32),
             dw_fg.astype(w_fg.dtype), dw_out.astype(w_out.dtype),
             db_out.astype(jnp.float32))
 
