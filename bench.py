@@ -31,11 +31,13 @@ import time
 import numpy as np
 
 
-def _train_steps_per_sec():
-    """Secondary metric (BASELINE.md): train steps/sec on the
-    kinetics-breakdancing config (experiments/02: video-conditioned,
-    layer=3 stack=3, 64/64 channels, batch 2, full 160k-sample clips),
-    bf16 compute, single chip."""
+# v5e peaks for the roofline/MFU report (public spec: 394 bf16
+# TFLOP/s, 819 GB/s HBM per chip)
+V5E_PEAK_TFLOPS = 394.0
+V5E_PEAK_HBM_GBS = 819.0
+
+
+def _breakdancing_setup():
     import jax
     import jax.numpy as jnp
 
@@ -62,15 +64,122 @@ def _train_steps_per_sec():
     tx = make_optimizer(cfg)
     state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0),
                                batch)
+    return model, cfg, state, batch
+
+
+def _train_step_model_flops(mc, b, t):
+    """Analytic matmul FLOPs of one fused train step (trunk fwd + bwd,
+    head fwd + bwd, embedding backward; video encoder and optimizer
+    excluded — both sub-1% here)."""
+    L = mc.layer_size * mc.stack_size
+    r, s, c, rows = (mc.residual_channels, mc.skip_channels,
+                     mc.input_channels, b * t)
+    fg_k = 3 * r  # [h | shifted | ctx]
+    fwd = L * rows * 2 * (fg_k * 2 * r + r * (r + s))
+    # bwd per layer: dgated, dwfg, dwout, dfg_w (fg recompute is saved)
+    bwd = L * rows * 2 * ((r + s) * r + fg_k * 2 * r + r * (r + s)
+                          + 2 * r * fg_k)
+    head = rows * 2 * (s * c + c * c)        # fwd
+    head += rows * 2 * (2 * (s * c + c * c))  # bwd (dw + dx per matmul)
+    embed_bwd = 2 * rows * 2 * (c * r)
+    return fwd + bwd + head + embed_bwd
+
+
+def _train_steps_per_sec():
+    """Secondary metric (BASELINE.md): train steps/sec on the
+    kinetics-breakdancing config (experiments/02: video-conditioned,
+    layer=3 stack=3, 64/64 channels, batch 2, full 160k-sample clips),
+    bf16 compute, single chip.  Returns (steps/s, mfu_pct)."""
+    import jax
+
+    from movenet_tpu.train import make_train_step
+
+    model, cfg, state, batch = _breakdancing_setup()
     step = jax.jit(make_train_step(model, cfg))
     state, m = step(state, batch)
     np.asarray(m["loss"])  # compile + warm (full sync)
-    reps = 8
+    reps = 32
     t0 = time.perf_counter()
     for _ in range(reps):
         state, m = step(state, batch)  # state-chained: serialized
     np.asarray(m["loss"])
-    return reps / (time.perf_counter() - t0)
+    dt = (time.perf_counter() - t0) / reps
+    flops = _train_step_model_flops(cfg.model_config, 2, 160_000)
+    mfu = flops / dt / (V5E_PEAK_TFLOPS * 1e12) * 100
+    return 1.0 / dt, mfu, flops
+
+
+def _check_on_hardware():
+    """On-TPU correctness gate (VERDICT round-1 item 4): the Pallas
+    sampler must produce bit-identical greedy output to the lax.scan
+    sampler on real Mosaic lowering (interpret-mode tests don't exercise
+    that), and the fused training pipeline must match XLA's loss /
+    grad-norm / accuracy.  Returns a dict that lands in the bench JSON.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from movenet_tpu.config import ModelConfig
+    from movenet_tpu.models.sampler import fast_generate
+    from movenet_tpu.models.wavenet import WaveNet, make_wavenet
+    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
+
+    results = {}
+    ok = True
+
+    cfg = ModelConfig(
+        layer_size=10, stack_size=2, input_channels=256,
+        residual_channels=64, skip_channels=64, compute_dtype="float32",
+        max_audio_frames=4000, max_video_frames=4)
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields
+    rng = np.random.default_rng(7)
+    n_total = rf + 512
+    for b, with_video in ((1, False), (8, False), (1, True)):
+        prompt = jnp.asarray(rng.integers(0, 256, size=(b, rf)),
+                             jnp.int32)
+        video = None
+        if with_video:
+            video = jnp.asarray(
+                rng.standard_normal((b, 4, 64, 64, 1)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               prompt, video, method=WaveNet.init_all)
+        got = np.asarray(pallas_generate(
+            model, variables, prompt, n_total, temperature=0.0,
+            video=video))
+        want = np.asarray(fast_generate(
+            model, variables, prompt, n_total, temperature=0.0,
+            video=video))
+        key = f"sampler_b{b}{'_video' if with_video else ''}"
+        match = bool((got == want).all())
+        results[key] = "bit-equal" if match else (
+            f"MISMATCH {(got != want).mean():.4f}")
+        ok = ok and match
+
+    # fused training pipeline vs XLA (bf16: tolerance, not bit-equal)
+    from movenet_tpu.train import create_train_state, make_optimizer, \
+        make_train_step
+
+    model, cfg, state0, batch = _breakdancing_setup()
+    import dataclasses
+    vals = {}
+    for fused in (False, True):
+        c = dataclasses.replace(cfg, fused_blocks=fused)
+        step = jax.jit(make_train_step(model, c))
+        state = state0
+        for _ in range(3):
+            state, m = step(state, batch)
+        vals[fused] = {k: float(m[k])
+                       for k in ("loss", "grad_norm", "accuracy")}
+    deltas = {k: abs(vals[True][k] - vals[False][k])
+              for k in vals[True]}
+    train_ok = all(d < 2e-3 for d in deltas.values())
+    results["fused_train_vs_xla"] = {
+        "deltas": {k: round(v, 8) for k, v in deltas.items()},
+        "ok": train_ok}
+    ok = ok and train_ok
+    results["passed"] = ok
+    return results
 
 
 def main():
@@ -150,6 +259,21 @@ def main():
         model, variables, prompt, rf + n_base, temperature=0.0))
     naive_rate = n_base / dt_naive
 
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip-check", action="store_true",
+                   help="skip the on-hardware correctness gate")
+    args, _ = p.parse_known_args()
+
+    steps_per_sec, mfu, train_flops = _train_steps_per_sec()
+    check = {"skipped": True} if args.skip_check else \
+        _check_on_hardware()
+
+    # sampler per-step latency + its dependent-matvec critical path
+    # (30 layers x 2 matmuls + head, all serialized on one sample)
+    us_per_step = 1e6 / fast_rate
+
     print(json.dumps({
         "metric": "ar_mulaw_generation_throughput",
         "value": round(fast_rate, 2),
@@ -161,8 +285,13 @@ def main():
         "scan_sampler_samples_per_sec": round(scan_rate, 2),
         "batched8_agg_samples_per_sec": round(b8_rate, 2),
         "batched16_agg_samples_per_sec": round(b16_rate, 2),
-        "train_steps_per_sec_breakdancing": round(
-            _train_steps_per_sec(), 3),
+        "sampler_us_per_step_b1": round(us_per_step, 3),
+        "train_steps_per_sec_breakdancing": round(steps_per_sec, 3),
+        "train_mfu_pct": round(mfu, 2),
+        "train_model_gflops_per_step": round(train_flops / 1e9, 1),
+        "roofline_peaks": {"bf16_tflops": V5E_PEAK_TFLOPS,
+                           "hbm_gbs": V5E_PEAK_HBM_GBS},
+        "check": check,
     }))
 
 

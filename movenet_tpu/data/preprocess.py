@@ -138,7 +138,10 @@ def preprocess_video(video: np.ndarray,
     video = np.asarray(video)
     if video.ndim != 4 or video.shape[-1] not in (1, 3):
         raise ValueError(f"expected (F, H, W, 1|3) video, got {video.shape}")
-    if video.dtype == np.uint8:
+    if video.dtype == np.uint8 and video.shape[-1] == 3:
+        # the C++ hot loop fuses luma + resize; single-channel input
+        # (ffmpeg server-side-scaled frames) skips straight to the
+        # cheap same-size path below
         from movenet_tpu.native import loader as native
         if native.available():
             return native.preprocess_video(video, num_frames, frame_hw)
