@@ -4,11 +4,14 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 value        = samples/sec/chip of the VMEM-resident Pallas sampler
-               kernel (movenet_tpu.ops.pallas.ar_sampler) on the
-               flagship config (layer=10, stack=3, 256 channels,
-               RF=3072 — the reference's tested generation config,
-               tests/test_model.py:42-48).  The lax.scan sampler's rate
-               is reported as "scan_sampler_samples_per_sec".
+               kernel in short-critical-path mode (fast=True,
+               movenet_tpu.ops.pallas.ar_sampler) on the flagship
+               config (layer=10, stack=3, 256 channels, RF=3072 — the
+               reference's tested generation config,
+               tests/test_model.py:42-48).  The bit-exact kernel's rate
+               is "exact_kernel_samples_per_sec" (greedy agreement
+               between the two is also reported); the lax.scan
+               sampler's rate is "scan_sampler_samples_per_sec".
 vs_baseline  = speedup over the reference's PyTorch sampler
                (wavenet.py:193-239: a Python loop running a full
                RF-window forward per sample), measured at 20.9
@@ -230,7 +233,20 @@ def main():
     n_total = rf + n_gen
     dt_pallas = timed(lambda: pallas_generate(
         model, variables, prompt, n_total, temperature=0.0))
-    fast_rate = n_gen / dt_pallas
+    exact_rate = n_gen / dt_pallas
+
+    # short-critical-path mode (headline): precomputed weight products
+    # halve the dependent matmuls per sample (ar_sampler.py docstring);
+    # fp-reassociated, so greedy agreement with the exact kernel is
+    # verified below rather than assumed
+    dt_fast = timed(lambda: pallas_generate(
+        model, variables, prompt, n_total, temperature=0.0, fast=True))
+    fast_rate = n_gen / dt_fast
+    fast_agree = float((np.asarray(pallas_generate(
+        model, variables, prompt, n_total, temperature=0.0, fast=True))
+        == np.asarray(pallas_generate(
+            model, variables, prompt, n_total,
+            temperature=0.0))).mean())
 
     # --- batched kernel: aggregate chip throughput at B=8 ------------------
     prompt8 = jnp.asarray(
@@ -282,6 +298,8 @@ def main():
             fast_rate / REFERENCE_TORCH_SAMPLES_PER_SEC, 2),
         "vs_naive_same_chip": round(fast_rate / naive_rate, 2),
         "naive_same_chip_samples_per_sec": round(naive_rate, 2),
+        "exact_kernel_samples_per_sec": round(exact_rate, 2),
+        "fast_vs_exact_greedy_agreement": round(fast_agree, 6),
         "scan_sampler_samples_per_sec": round(scan_rate, 2),
         "batched8_agg_samples_per_sec": round(b8_rate, 2),
         "batched16_agg_samples_per_sec": round(b16_rate, 2),

@@ -36,6 +36,7 @@ def generate_from_checkpoint(
     out_dir: Path = Path("generated"),
     seed: int = 0,
     parity_sampling: bool = True,
+    fast: bool = True,
 ):
     import jax
     import jax.numpy as jnp
@@ -86,23 +87,42 @@ def generate_from_checkpoint(
             mu_law_encode(jnp.zeros(1), mc.input_channels)[0]))
         prompt = jnp.full((batch_size, rf), silent_code, jnp.int32)
 
-    # restore params (optimizer state comes along; only params matter)
+    # restore params (optimizer state comes along; only params matter).
+    # The template must mirror the TRAINING configuration — a checkpoint
+    # from a video-conditioned run carries video_encoder params even if
+    # this generation is unconditioned — so build the init batch from
+    # the run config, not from what this invocation happens to use.
+    tmpl_video = None
+    if config.use_video:
+        tmpl_video = np.zeros(
+            (batch_size, mc.max_video_frames, 64, 64, 1), np.float32)
+    tmpl_labels = None
+    if mc.global_classes and mc.global_classes > 0:
+        tmpl_labels = np.zeros((batch_size,), np.int32)
+    tmpl_t = mc.max_audio_frames if tmpl_video is not None else rf + 1
     state = create_train_state(
         model, config, make_optimizer(config, steps_per_epoch=1),
         jax.random.PRNGKey(0),
-        Batch(codes=np.zeros((batch_size, rf + 1), np.int32),
-              video=None if video is None else np.asarray(video)))
+        Batch(codes=np.zeros((batch_size, tmpl_t), np.int32),
+              video=tmpl_video, labels=tmpl_labels))
     state = restore_checkpoint(checkpoint_dir, state)
     variables = {"params": state.params}
     logger.info("restored step-%d params from %s", int(state.step),
                 checkpoint_dir)
 
     t0 = time.perf_counter()
-    if prompt.shape[0] in (1, 2, 4, 8):
+    # the Pallas kernel needs a real TPU (no CPU lowering outside
+    # interpret mode); everywhere else the scan sampler is the fast path
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and prompt.shape[0] in (1, 2, 4, 8):
+        # fast=True: short-critical-path weight products (default; see
+        # ops/pallas/ar_sampler.stack_fast_weights) — ~1.3x throughput,
+        # fp-reassociated (not bit-identical to the exact kernel)
         codes = pallas_generate(model, variables, prompt, n,
                                 temperature=temperature, seed=seed,
                                 video=video, labels=labels,
-                                parity_sampling=parity_sampling)
+                                parity_sampling=parity_sampling,
+                                fast=fast)
     else:
         codes = fast_generate(model, variables, prompt, n,
                               temperature=temperature,
@@ -137,13 +157,17 @@ def main(argv=None):
                     default=None)
     ap.add_argument("--parity_sampling", type=lambda x: bool(int(x)),
                     default=True)
+    ap.add_argument("--fast_sampler", type=lambda x: bool(int(x)),
+                    default=True,
+                    help="short-critical-path kernel (1: default); "
+                         "0 = bit-exact kernel")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=Path, default=Path("generated"))
     args = ap.parse_args(argv)
     written = generate_from_checkpoint(
         args.checkpoint, args.dataset, args.n_samples, args.temperature,
         args.batch_size, args.use_video, args.out, args.seed,
-        args.parity_sampling)
+        args.parity_sampling, fast=args.fast_sampler)
     for kind, paths in written.items():
         for p in paths:
             print(p)

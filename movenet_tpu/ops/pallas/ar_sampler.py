@@ -103,9 +103,58 @@ def stack_sampler_params(model: WaveNet, variables,
     }
 
 
+def stack_fast_weights(model: WaveNet, sp: dict) -> dict:
+    """Precomputed weight products for the short-critical-path sampler.
+
+    Reassociation (NOTES_ROUND2 item 3a): with
+    h_{l+1} = gated_l @ W_res_l + b_res_l + h_l,
+    fg_{l+1} = [h_{l+1} | past_{l+1} | ctx] @ W_fg_{l+1} + b_{l+1}
+             = gated_l @ (W_res_l W_cur_{l+1})                (dependent)
+             + [h_l | past_{l+1} | ctx] @ W_fg_{l+1}
+             + b_{l+1} + b_res_l @ W_cur_{l+1}              (independent)
+    so only ONE matmul per layer sits on the sample's dependency chain;
+    the independent part issues concurrently and its latency hides.
+
+    The front embedding folds the same way: with
+    h_0 = onehot_cur @ E_cur + onehot_prev @ E_past,
+    fg_0 = onehot_cur @ (E_cur W_cur_0)          (the only dependent op)
+         + onehot_prev @ (E_past W_cur_0) + [past_0 | ctx] @ rest + b_0.
+
+    Returns:
+      w_prod: (L, R, 2R) = W_res_l @ W_cur_{l+1} (last layer zero);
+      fc0/fp0: (C, 2R) folded front-embedding products;
+      w_p0c: (R or 2R, 2R) = [W_past_0 (; W_ctx_0)];
+      b_corr: (L, 2R) additive bias correction, b_res_{l-1} @ W_cur_l
+             (zero for layer 0) — added onto the final per-(layer,
+             batch) fg bias rows (after global-conditioning shifts).
+    """
+    r = model.residual_channels
+    n_layers = len(model.dilations)
+    w_fg, w_out, b_out = sp["w_fg"], sp["w_out"], sp["b_out"]
+    prods, b_corr = [], [jnp.zeros((2 * r,), jnp.float32)]
+    for l in range(n_layers):
+        if l + 1 < n_layers:
+            w_cur_next = w_fg[l + 1][:r]            # (R, 2R)
+            prods.append(jnp.dot(w_out[l][:, :r], w_cur_next,
+                                 precision=_HI))
+            b_corr.append(jnp.dot(b_out[l][:r], w_cur_next,
+                                  precision=_HI))
+        else:
+            prods.append(jnp.zeros((r, 2 * r), jnp.float32))
+    w_cur_0 = w_fg[0][:r]
+    return {
+        "w_prod": jnp.stack(prods),
+        "fc0": jnp.dot(sp["front_cur"], w_cur_0, precision=_HI),
+        "fp0": jnp.dot(sp["front_past"], w_cur_0, precision=_HI),
+        "w_p0c": w_fg[0][r:],   # [W_past_0 (; W_ctx_0)]
+        "b_corr": jnp.stack(b_corr),
+    }
+
+
 def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                  s: int, batch: int, temperature: float,
-                 parity_sampling: bool, has_ctx: bool):
+                 parity_sampling: bool, has_ctx: bool,
+                 fast: bool = False):
     offsets = np.concatenate([[0], np.cumsum(dilations)[:-1]]).tolist()
     n_layers = len(dilations)
     group = _LANES // batch  # timesteps packed per int32 row
@@ -117,6 +166,10 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                w_fg_ref, b_fg_ref, w_out_ref, b_out_ref,
                h1_w_ref, h1_b_ref, h2_w_ref, h2_b_ref,
                *rest):
+        if fast:
+            (fc0_ref, fp0_ref, w_p0c_ref, w_prod_ref, *rest) = rest
+        else:
+            fc0_ref = fp0_ref = w_p0c_ref = w_prod_ref = None
         if has_ctx:
             (ctx_hbm, out_ref, buf_ref, ctx_buf_ref, ctx_sem) = rest
         else:
@@ -161,8 +214,10 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
             code_col_f = cur_col_f
             code_oh = (col_iota_f == code_col_f).astype(jnp.float32)
 
-            h = _dot(code_oh, front_cur_ref[:, :]) \
-                + _dot(prev_oh, front_past_ref[:, :])       # (B, R)
+            h = None
+            if not fast:
+                h = _dot(code_oh, front_cur_ref[:, :]) \
+                    + _dot(prev_oh, front_past_ref[:, :])   # (B, R)
 
             # ---- context features for step t (double-buffered DMA)
             if has_ctx:
@@ -187,20 +242,62 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                 ctx_t = None
 
             skip_sum = jnp.zeros((batch, s), jnp.float32)
-            for l in range(n_layers):
-                d = dilations[l]
-                slot_l = (offsets[l] + jax.lax.rem(t, d)) * batch
-                past = buf_ref[pl.ds(slot_l, batch), :]      # (B, R)
+
+            def slot_of(l):
+                return (offsets[l]
+                        + jax.lax.rem(t, dilations[l])) * batch
+
+            def fg_of(l, h_in):
+                past = buf_ref[pl.ds(slot_of(l), batch), :]  # (B, R)
                 hp = jnp.concatenate(
-                    [h, past] + ([ctx_t] if has_ctx else []), axis=1)
-                fg = _dot(hp, w_fg_ref[l]) \
+                    [h_in, past] + ([ctx_t] if has_ctx else []), axis=1)
+                return _dot(hp, w_fg_ref[l]) \
                     + b_fg_ref[pl.ds(l * batch, batch), :]
-                gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
-                out = _dot(gated, w_out_ref[l]) \
-                    + b_out_ref[pl.ds(l, 1), :]
-                skip_sum = skip_sum + out[:, r:]
-                buf_ref[pl.ds(slot_l, batch), :] = h
-                h = out[:, :r] + h
+
+            if fast:
+                # short critical path (see stack_fast_weights): the
+                # dependency chain is onehot -> fc0 matmul -> per layer
+                # (gating -> w_prod matmul); everything else (front
+                # embedding, layer outputs, the next layer's `pre`)
+                # depends only on one-layer-old values and overlaps in
+                # the MXU pipeline
+                past0 = buf_ref[pl.ds(slot_of(0), batch), :]
+                p0c = jnp.concatenate(
+                    [past0] + ([ctx_t] if has_ctx else []), axis=1)
+                fg = _dot(code_oh, fc0_ref[:, :]) \
+                    + (_dot(prev_oh, fp0_ref[:, :])
+                       + _dot(p0c, w_p0c_ref[:, :])
+                       + b_fg_ref[pl.ds(0, batch), :])
+                h = _dot(code_oh, front_cur_ref[:, :]) \
+                    + _dot(prev_oh, front_past_ref[:, :])
+                for l in range(n_layers):
+                    slot_l = slot_of(l)
+                    gated = jnp.tanh(fg[:, :r]) \
+                        * jax.nn.sigmoid(fg[:, r:])
+                    bo = b_out_ref[pl.ds(l, 1), :]
+                    if l + 1 < n_layers:
+                        fgp = _dot(gated, w_prod_ref[l])   # critical
+                        pre = fg_of(l + 1, h)              # off-path
+                        out = _dot(gated, w_out_ref[l]) + bo
+                        buf_ref[pl.ds(slot_l, batch), :] = h
+                        skip_sum = skip_sum + out[:, r:]
+                        h = out[:, :r] + h
+                        fg = fgp + pre
+                    else:
+                        out = _dot(gated, w_out_ref[l]) + bo
+                        buf_ref[pl.ds(slot_l, batch), :] = h
+                        skip_sum = skip_sum + out[:, r:]
+            else:
+                for l in range(n_layers):
+                    slot_l = slot_of(l)
+                    fg = fg_of(l, h)
+                    gated = jnp.tanh(fg[:, :r]) \
+                        * jax.nn.sigmoid(fg[:, r:])
+                    out = _dot(gated, w_out_ref[l]) \
+                        + b_out_ref[pl.ds(l, 1), :]
+                    skip_sum = skip_sum + out[:, r:]
+                    buf_ref[pl.ds(slot_l, batch), :] = h
+                    h = out[:, :r] + h
 
             y = _dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :]) \
                 + h1_b_ref[pl.ds(0, 1), :]
@@ -256,7 +353,7 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "n_samples", "temperature",
-                     "parity_sampling", "interpret"),
+                     "parity_sampling", "interpret", "fast"),
 )
 def pallas_generate(
     model: WaveNet,
@@ -269,10 +366,18 @@ def pallas_generate(
     parity_sampling: bool = True,
     labels: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Generate (B, n_samples) mu-law codes with the VMEM-resident
     kernel.  Supports batch in {1, 2, 4, 8} and optional video
-    conditioning (context streamed from HBM)."""
+    conditioning (context streamed from HBM).
+
+    ``fast=True`` shortens the per-sample dependency chain to one
+    matmul per layer via precomputed weight products
+    (stack_fast_weights).  The reassociated fp math is not bit-equal to
+    the default path — outputs agree to fp tolerance, so greedy samples
+    can differ at near-ties; keep the default for bit-exactness tests.
+    """
     rf = model.receptive_fields
     if n_samples <= rf:
         raise ValueError(f"n_samples ({n_samples}) must exceed RF ({rf})")
@@ -324,6 +429,10 @@ def pallas_generate(
             for i in range(len(model.dilations))])       # (L, B, 2R)
         b_fg = b_fg + shifts
     sp = dict(sp)
+    fw = None
+    if fast:
+        fw = stack_fast_weights(model, sp)
+        b_fg = b_fg + fw["b_corr"][:, None, :]
     sp["b_fg"] = b_fg.reshape(-1, b_fg.shape[-1])        # (L*B, 2R)
 
     # ---- warm start: parallel prompt pass fills the ring buffers and
@@ -351,9 +460,12 @@ def pallas_generate(
               sp["front_cur"], sp["front_past"], sp["w_fg"], sp["b_fg"],
               sp["w_out"], sp["b_out"], sp["h1_w"], sp["h1_b"],
               sp["h2_w"], sp["h2_b"]]
+    if fast:
+        inputs += [fw["fc0"], fw["fp0"], fw["w_p0c"], fw["w_prod"]]
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 12
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
+        [vmem] * (len(inputs) - 1)
     scratch = [pltpu.VMEM((sum_d * batch, r), jnp.float32)]
 
     if has_ctx:
@@ -376,7 +488,8 @@ def pallas_generate(
         ]
 
     kernel = _make_kernel(dil, rf, n_samples, c_in, r, s, batch,
-                          float(temperature), parity_sampling, has_ctx)
+                          float(temperature), parity_sampling, has_ctx,
+                          fast=fast)
 
     out = pl.pallas_call(
         kernel,

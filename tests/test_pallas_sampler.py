@@ -102,3 +102,52 @@ def test_stacked_params_shapes():
     assert sp["w_out"].shape == (n_layers, 16, 32)
     assert sp["b_out"].shape == (n_layers, 32)
     assert sp["front_cur"].shape == (32, 16)
+
+
+def test_pallas_fast_mode_matches_exact(rng_np):
+    """fast=True reassociates fp math (one dependent matmul per layer),
+    so it is not bit-equal by construction; with a sharpened head the
+    greedy decisions have margin and the trajectories must coincide."""
+    model, variables = _model()
+    p = variables["params"]
+    p = dict(p)
+    p["head2"] = dict(p["head2"],
+                      kernel=jnp.asarray(p["head2"]["kernel"]) * 10.0)
+    variables = {"params": p}
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)), jnp.int32)
+    n = rf + 160
+    exact = np.asarray(pallas_generate(model, variables, prompt, n,
+                                       temperature=0.0, interpret=True))
+    fast = np.asarray(pallas_generate(model, variables, prompt, n,
+                                      temperature=0.0, interpret=True,
+                                      fast=True))
+    np.testing.assert_array_equal(fast, exact)
+
+
+def test_pallas_fast_mode_video(rng_np):
+    from movenet_tpu.models.wavenet import WaveNet as WN
+
+    cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=32,
+                      residual_channels=16, skip_channels=16,
+                      compute_dtype="float32",
+                      max_audio_frames=1000, max_video_frames=1)
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)), jnp.int32)
+    video = jnp.asarray(rng_np.standard_normal((1, 1, 64, 64, 1)),
+                        jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), prompt, video,
+                           method=WN.init_all)
+    p = dict(variables["params"])
+    p["head2"] = dict(p["head2"],
+                      kernel=jnp.asarray(p["head2"]["kernel"]) * 10.0)
+    variables = {"params": p}
+    n = rf + 128
+    exact = np.asarray(pallas_generate(model, variables, prompt, n,
+                                       temperature=0.0, video=video,
+                                       interpret=True))
+    fast = np.asarray(pallas_generate(model, variables, prompt, n,
+                                      temperature=0.0, video=video,
+                                      interpret=True, fast=True))
+    np.testing.assert_array_equal(fast, exact)

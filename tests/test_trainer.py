@@ -102,6 +102,18 @@ def test_cli_end_to_end_video(dataset_root, tmp_path, monkeypatch):
         assert fh.getsampwidth() == 2
         assert fh.getnframes() > 0
 
+    # standalone generation from the run checkpoint WITHOUT a dataset:
+    # the restore template must mirror the training config (a
+    # video-conditioned checkpoint carries video_encoder params even
+    # though this generation is unconditioned)
+    from movenet_tpu.generate import generate_from_checkpoint
+
+    written = generate_from_checkpoint(
+        out, n_samples=150, temperature=0.0, batch_size=1,
+        out_dir=tmp_path / "gen")
+    assert len(written["generated"]) == 1
+    assert written["generated"][0].exists()
+
 
 def test_auto_resume(dataset_root, tmp_path, monkeypatch):
     from movenet_tpu.train.cli import main
