@@ -65,9 +65,9 @@ def _fe_bwd(dt, vocab, saved, dh):
 _front_embed.defvjp(_fe_fwd, _fe_bwd)
 
 
-def _fused_trunk(model: WaveNet, params, codes, video, labels,
-                 interpret: bool):
-    """Shared fused trunk: codes (+video/labels) -> skip_sum (B,T,S)."""
+def _prepare_trunk(model: WaveNet, params, codes, video, labels):
+    """Shared prologue: encoders + front embedding + per-layer packed
+    weights; returns (h, ctx, block_weights)."""
     b, t = codes.shape
     if t % TILE:
         raise ValueError(
@@ -116,24 +116,23 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
             [blk["residual_proj"]["bias"], blk["skip_proj"]["bias"]])
         return b_fg, w_fg, w_out, b_out
 
-    dilations = tuple(model.dilations)
-    try:
-        from movenet_tpu.ops.pallas.stack_kernel import (
-            fused_stack, pick_stack_tile, supports_recompute)
+    return h, ctx, block_weights
 
-        pick_stack_tile(t, dilations)  # raises if no common tile
-        # remat asks for the O(sum d) tails-recompute VJP when possible
-        strategy = "recompute" if (
-            model.remat and supports_recompute(t, dilations)) else "auto"
-        per_layer = [block_weights(i) for i in range(len(dilations))]
-        b_fg_all = jnp.concatenate([w[0] for w in per_layer], axis=0)
-        w_fg_all = jnp.stack([w[1] for w in per_layer])
-        w_out_all = jnp.stack([w[2] for w in per_layer])
-        b_out_all = jnp.stack([w[3] for w in per_layer])
+
+def _fused_trunk(model: WaveNet, params, codes, video, labels,
+                 interpret: bool):
+    """Shared fused trunk: codes (+video/labels) -> skip_sum (B,T,S)."""
+    b, t = codes.shape
+    h, ctx, block_weights = _prepare_trunk(model, params, codes, video,
+                                           labels)
+    dilations = tuple(model.dilations)
+    stacked = _stack_weights(model, block_weights, t, dilations)
+    if stacked is not None:
+        from movenet_tpu.ops.pallas.stack_kernel import fused_stack
+
+        strategy, b_fg_all, w_fg_all, w_out_all, b_out_all = stacked
         return fused_stack(h, ctx, b_fg_all, w_fg_all, w_out_all,
                            b_out_all, dilations, interpret, strategy)
-    except ValueError:
-        pass  # fall back to the per-block chain
 
     skip_sum = None
     for i, d in enumerate(dilations):
@@ -144,14 +143,79 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
     return skip_sum
 
 
+def _stack_weights(model, block_weights, t, dilations):
+    """Stacked per-layer weights + VJP strategy for the whole-stack
+    kernel, or None when no common tile exists (per-block fallback)."""
+    from movenet_tpu.ops.pallas.stack_kernel import (
+        pick_stack_tile, supports_recompute)
+
+    try:
+        pick_stack_tile(t, dilations)
+    except ValueError:
+        return None
+    # remat asks for the O(sum d) tails-recompute VJP when possible
+    strategy = "recompute" if (
+        model.remat and supports_recompute(t, dilations)) else "auto"
+    per_layer = [block_weights(i) for i in range(len(dilations))]
+    b_fg_all = jnp.concatenate([w[0] for w in per_layer], axis=0)
+    w_fg_all = jnp.stack([w[1] for w in per_layer])
+    w_out_all = jnp.stack([w[2] for w in per_layer])
+    b_out_all = jnp.stack([w[3] for w in per_layer])
+    return strategy, b_fg_all, w_fg_all, w_out_all, b_out_all
+
+
+def _merged_loss(model: WaveNet, params, codes, video, labels,
+                 parity: bool, interpret: bool):
+    """(loss_sum, match) through the fully-merged trunk+head kernel, or
+    None when the whole-stack kernel or save-all strategy don't apply."""
+    from movenet_tpu.ops.pallas.stack_kernel import (
+        fused_stack_head_loss, resolve_strategy)
+
+    b, t = codes.shape
+    dilations = tuple(model.dilations)
+    h, ctx, block_weights = _prepare_trunk(model, params, codes, video,
+                                           labels)
+    stacked = _stack_weights(model, block_weights, t, dilations)
+    if stacked is None:
+        return None
+    strategy, b_fg_all, w_fg_all, w_out_all, b_out_all = stacked
+    if resolve_strategy(strategy, h.shape, len(dilations), dilations,
+                        h.dtype.itemsize) != "save":
+        return None
+    targets_tb = jnp.roll(codes, -1, axis=1).T           # (T, B)
+    return fused_stack_head_loss(
+        h, ctx, b_fg_all, w_fg_all, w_out_all, b_out_all, targets_tb,
+        params["head1"]["kernel"], params["head1"]["bias"],
+        params["head2"]["kernel"], params["head2"]["bias"],
+        dilations, model.receptive_fields, parity, interpret)
+
+
 def fused_train_loss(model: WaveNet, params, codes: jnp.ndarray,
                      video=None, labels=None, parity: bool = True,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     merge_head: bool = False):
     """codes -> (mean NLL, accuracy), fully kernelized: fused trunk +
-    fused head/CE (logits never materialize in HBM)."""
+    fused head/CE (logits never materialize in HBM).
+
+    ``merge_head=True`` additionally fuses the head + CE INTO the trunk
+    kernels (fused_stack_head_loss) so dskip never round-trips through
+    HBM.  Measured on v5e this is ~5% SLOWER than the split pipeline on
+    the breakdancing config (the head work serializes into every trunk
+    grid step and the saved DMA was already hidden under compute), so
+    the split pipeline is the default; the merged op stays available
+    and equivalence-tested for configs where the balance differs.
+    """
     from movenet_tpu.ops.pallas.head_loss import fused_head_loss
 
     b, t = codes.shape
+    skip_sum = None
+    if merge_head and supports_fused(model, t):
+        merged = _merged_loss(model, params, codes, video, labels,
+                              parity, interpret)
+        if merged is not None:
+            loss_sum, match = merged
+            n_valid = b * (t - model.receptive_fields)
+            return loss_sum / n_valid, match / n_valid
     skip_sum = _fused_trunk(model, params, codes, video, labels,
                             interpret)
     targets_tb = jnp.roll(codes, -1, axis=1).T          # (T, B)

@@ -34,6 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from movenet_tpu.ops.pallas.gated_block import _dot, _dot_t0
+from movenet_tpu.ops.pallas.head_loss import (
+    _core,
+    _dleaky,
+    _leaky,
+    _match_rows,
+    _nll_rows,
+)
 
 
 def pick_stack_tile(t: int, dilations) -> int:
@@ -233,6 +240,469 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         interpret=interpret,
     )(x, ctx_arg, b_fg, w_fg, w_out, b_out)
     return skip, hsave, tfsg, tails
+
+
+# ------------------------------------- forward (save mode, fused head)
+def _fwd_kernel_head(dilations, r: int, s: int, has_ctx: bool,
+                     tile: int, out_dtype, n_batch: int, n_tiles: int,
+                     rf: int, t_total: int, c: int, parity: bool):
+    n_layers = len(dilations)
+    offs, small_total, _ = _split_ring_offsets(dilations, tile)
+    small_pad = _pad8(small_total)
+
+    def kernel(x_ref, ctx_ref, b_fg_ref, w_fg_ref, w_out_ref, b_out_ref,
+               tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               skip_ref, hsave_ref, tfsg_ref, tails_ref,
+               loss_ref, match_ref, ring_ref, acc_ref):
+        b_idx = pl.program_id(0)
+        ti = pl.program_id(1)
+        t0 = ti * tile
+
+        @pl.when(jnp.logical_and(b_idx == 0, ti == 0))
+        def _():
+            acc_ref[0, 0] = 0.0
+            acc_ref[0, 1] = 0.0
+
+        @pl.when(ti == 0)
+        def _():
+            ring_ref[:, :] = jnp.zeros(ring_ref.shape, jnp.float32)
+
+        tails_ref[0, 0] = ring_ref[pl.ds(0, small_pad), :].astype(
+            out_dtype)
+
+        h = x_ref[0].astype(jnp.float32)
+        ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
+        skip_acc = jnp.zeros((tile, s), jnp.float32)
+
+        for l, d in enumerate(dilations):
+            hsave_ref[l, 0] = h.astype(out_dtype)
+            if d >= tile:
+                slot = offs[l] + jax.lax.rem(t0, d)
+                shifted = ring_ref[pl.ds(slot, tile), :]
+                ring_ref[pl.ds(slot, tile), :] = h
+            else:
+                shifted = jnp.concatenate(
+                    [ring_ref[pl.ds(offs[l], d), :], h[: tile - d, :]],
+                    axis=0)
+                ring_ref[pl.ds(offs[l], d), :] = h[tile - d:, :]
+            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            hp = jnp.concatenate(parts, axis=1)
+            fg = _dot(hp, w_fg_ref[l]) \
+                + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
+            tf = jnp.tanh(fg[:, :r])
+            sg = jax.nn.sigmoid(fg[:, r:])
+            tfsg_ref[l, 0] = jnp.concatenate([tf, sg],
+                                             axis=1).astype(out_dtype)
+            gated = tf * sg
+            out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
+            skip_acc = skip_acc + out[:, r:]
+            h = out[:, :r] + h
+
+        # head + CE straight off the tile's skip accumulator; round to
+        # the storage dtype first so the backward's recompute from the
+        # saved skip is bit-consistent
+        skipb = skip_acc.astype(out_dtype)
+        skip_ref[0] = skipb
+        sk = skipb.astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
+        tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
+                          axis=1, keepdims=True)
+        _, z, p, onehot = _core(sk, tgt_col, w1_ref[:, :],
+                                b1_ref[pl.ds(0, 1), :], w2_ref[:, :],
+                                b2_ref[pl.ds(0, 1), :], c, parity)
+        nll = _nll_rows(z, p, onehot, parity)
+        match = _match_rows(z, tgt_col)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
+        valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
+            jnp.float32)
+        acc_ref[0, 0] += jnp.sum(nll * valid)
+        acc_ref[0, 1] += jnp.sum(match * valid)
+
+        @pl.when(jnp.logical_and(b_idx == n_batch - 1,
+                                 ti == n_tiles - 1))
+        def _():
+            loss_ref[0, 0] = acc_ref[0, 0]
+            match_ref[0, 0] = acc_ref[0, 1]
+
+    return kernel
+
+
+def _fwd_pallas_head(x, ctx, b_fg, w_fg, w_out, b_out, targets_tb,
+                     w1, b1, w2, b2, dilations, rf: int, parity: bool,
+                     interpret: bool):
+    batch, t_total, r = x.shape
+    s = w_out.shape[2] - r
+    c = w2.shape[1]
+    has_ctx = ctx is not None
+    n_layers = len(dilations)
+    tile = pick_stack_tile(t_total, dilations)
+    n_tiles = t_total // tile
+    _, small_total, ring_rows = _split_ring_offsets(dilations, tile)
+    small_pad = _pad8(small_total)
+
+    def tmap(b, i):
+        return (b, i, 0)
+
+    if has_ctx:
+        ctx_spec = pl.BlockSpec((1, tile, r), tmap,
+                                memory_space=pltpu.VMEM)
+        ctx_arg = ctx
+    else:
+        ctx_spec = pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+                                memory_space=pltpu.SMEM)
+        ctx_arg = jnp.zeros((1, 1), jnp.int32)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _fwd_kernel_head(tuple(dilations), r, s, has_ctx, tile, x.dtype,
+                         batch, n_tiles, rf, t_total, c, parity),
+        grid=(batch, n_tiles),
+        in_specs=[pl.BlockSpec((1, tile, r), tmap,
+                               memory_space=pltpu.VMEM),
+                  ctx_spec, vm, vm, vm, vm,
+                  pl.BlockSpec((tile, batch), lambda b, i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  vm, vm, vm, vm],
+        out_specs=(
+            pl.BlockSpec((1, tile, s), tmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 1, tile, r),
+                         lambda b, i: (0, b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_layers, 1, tile, 2 * r),
+                         lambda b, i: (0, b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, small_pad, r),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_total, s), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, batch, t_total, r), x.dtype),
+            jax.ShapeDtypeStruct((n_layers, batch, t_total, 2 * r),
+                                 x.dtype),
+            jax.ShapeDtypeStruct((batch, n_tiles, small_pad, r),
+                                 x.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((max(ring_rows, small_pad, 8), r), jnp.float32),
+            pltpu.SMEM((1, 2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, ctx_arg, b_fg, w_fg, w_out, b_out, targets_tb,
+      w1, b1.reshape(1, -1), w2, b2.reshape(1, -1))
+    skip, hsave, tfsg, tails, loss, match = outs
+    return loss[0, 0], match[0, 0], skip, hsave, tfsg, tails
+
+
+# ------------------------------------ backward (save mode, fused head)
+def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
+                     in_dtype, ring_offs, rf, t_total, c, parity):
+    n_layers = len(dilations)
+    tail_offs, _, _ = _split_ring_offsets(dilations, tile)
+    big_layers = [l for l, d in enumerate(dilations) if d >= tile]
+    shift_slot = {l: i for i, l in enumerate(big_layers)}
+
+    def kernel(*refs):
+        (hsave_ref, tfsg_ref, tails_ref, ctx_ref, w_fg_t_ref,
+         w_out_t_ref, skip_ref, tgt_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref, w1t_ref, w2t_ref,
+         dloss_ref, *rest) = refs
+        shift_refs = rest[:len(big_layers)]
+        (dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
+         db_out_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+         dfgp_ring, dwfg_acc, dwout_acc, dbout_acc, dbfg_acc,
+         dw1_acc, db1_acc, dw2_acc, db2_acc) = rest[len(big_layers):]
+
+        b_idx = pl.program_id(0)
+        rj = pl.program_id(1)
+        ti = n_tiles - 1 - rj
+        t0 = ti * tile
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+
+        @pl.when(jnp.logical_and(b_idx == 0, rj == 0))
+        def _():
+            dwfg_acc[:, :, :] = jnp.zeros(dwfg_acc.shape, jnp.float32)
+            dwout_acc[:, :, :] = jnp.zeros(dwout_acc.shape, jnp.float32)
+            dbout_acc[:, :] = jnp.zeros(dbout_acc.shape, jnp.float32)
+            dw1_acc[:, :] = jnp.zeros(dw1_acc.shape, jnp.float32)
+            db1_acc[:, :] = jnp.zeros(db1_acc.shape, jnp.float32)
+            dw2_acc[:, :] = jnp.zeros(dw2_acc.shape, jnp.float32)
+            db2_acc[:, :] = jnp.zeros(db2_acc.shape, jnp.float32)
+
+        @pl.when(rj == 0)
+        def _():
+            dfgp_ring[:, :] = jnp.zeros(dfgp_ring.shape, jnp.float32)
+            dbfg_acc[:, :] = jnp.zeros(dbfg_acc.shape, jnp.float32)
+
+        ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
+
+        # ---- head backward: recompute z from the saved skip and form
+        # dskip for this tile (exactly head_loss._bwd_kernel, fused)
+        skip = skip_ref[0].astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
+        tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
+                          axis=1, keepdims=True)
+        y, z, p, onehot = _core(skip, tgt_col, w1_ref[:, :],
+                                b1_ref[pl.ds(0, 1), :], w2_ref[:, :],
+                                b2_ref[pl.ds(0, 1), :], c, parity)
+        rowt = row + t0
+        valid = ((rowt >= rf - 1) & (rowt < t_total - 1)).astype(
+            jnp.float32)
+        scale = dloss_ref[0] * valid
+        if parity:
+            q = jax.nn.softmax(p, axis=-1)
+            g = q - onehot
+            dz = p * g - p * jnp.sum(p * g, axis=-1, keepdims=True)
+        else:
+            dz = jax.nn.softmax(z, axis=-1) - onehot
+        dz = dz * scale
+        ly = _leaky(y)
+        dw2_acc[:, :] += _dot_t0(ly, dz)
+        db2_acc[:, :] += jnp.sum(dz, axis=0, keepdims=True)
+        dy = _dot(dz, w2t_ref[:, :]) * _dleaky(y)
+        lskip = _leaky(skip)
+        dw1_acc[:, :] += _dot_t0(lskip, dy)
+        db1_acc[:, :] += jnp.sum(dy, axis=0, keepdims=True)
+        dskip = _dot(dy, w1t_ref[:, :]) * _dleaky(skip)
+
+        # ---- layer backward (identical to _bwd_kernel_padded)
+        dh = jnp.zeros((tile, r), jnp.float32)
+        dctx_acc = jnp.zeros((tile, r), jnp.float32) if has_ctx else None
+
+        for l in reversed(range(n_layers)):
+            d = dilations[l]
+            off = ring_offs[l]
+            h = hsave_ref[l, 0].astype(jnp.float32)
+            if d >= tile:
+                shifted = shift_refs[shift_slot[l]][0, 0].astype(
+                    jnp.float32)
+                shifted = jnp.where(t0 < d, jnp.zeros_like(shifted),
+                                    shifted)
+            else:
+                shifted = jnp.concatenate(
+                    [tails_ref[0, 0, pl.ds(tail_offs[l], d), :].astype(
+                        jnp.float32), h[: tile - d, :]], axis=0)
+            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            hp = jnp.concatenate(parts, axis=1)
+            tfsg = tfsg_ref[l, 0].astype(jnp.float32)
+            tf = tfsg[:, :r]
+            sg = tfsg[:, r:]
+            gated = tf * sg
+
+            dout = jnp.concatenate([dh, dskip], axis=1)
+            dgated = _dot(dout, w_out_t_ref[l])
+            df = dgated * sg * (1.0 - tf * tf)
+            dg = dgated * tf * sg * (1.0 - sg)
+            dfg = jnp.concatenate([df, dg], axis=1)
+
+            dwfg_acc[l] += _dot_t0(hp, dfg)
+            dwout_acc[l] += _dot_t0(gated, dout)
+            dbout_acc[pl.ds(l, 1), :] += jnp.sum(dout, axis=0,
+                                                 keepdims=True)
+            dbfg_acc[pl.ds(l, 1), :] += jnp.sum(dfg, axis=0,
+                                                keepdims=True)
+
+            dfg_w = _dot(dfg, w_fg_t_ref[l])
+            dh = dh + dfg_w[:, :r]
+            dfg_p = dfg_w[:, r: 2 * r]
+            if d >= tile:
+                slot = off + jax.lax.rem(t0, d)
+                dh = dh + dfgp_ring[pl.ds(slot, tile), :]
+                dfgp_ring[pl.ds(slot, tile), :] = dfg_p
+            else:
+                saved = dfgp_ring[pl.ds(off, tile), :]
+                future = jnp.where(row < tile - d,
+                                   pltpu.roll(dfg_p, tile - d, 0),
+                                   pltpu.roll(saved, tile - d, 0))
+                dh = dh + future
+                dfgp_ring[pl.ds(off, tile), :] = dfg_p
+            if has_ctx:
+                dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
+
+        dx_ref[0] = dh.astype(in_dtype)
+        if has_ctx:
+            dctx_ref[0] = dctx_acc.astype(in_dtype)
+        else:
+            dctx_ref[0] = jnp.zeros((tile, r), in_dtype)
+
+        @pl.when(rj == n_tiles - 1)
+        def _():
+            for l in range(n_layers):
+                db_fg_ref[pl.ds(l * n_batch + b_idx, 1), :] = \
+                    dbfg_acc[pl.ds(l, 1), :]
+
+        @pl.when(jnp.logical_and(b_idx == n_batch - 1,
+                                 rj == n_tiles - 1))
+        def _():
+            dw_fg_ref[:, :, :] = dwfg_acc[:, :, :]
+            dw_out_ref[:, :, :] = dwout_acc[:, :, :]
+            db_out_ref[:, :] = dbout_acc[:, :]
+            dw1_ref[:, :] = dw1_acc[:, :]
+            db1_ref[:, :] = db1_acc[:, :]
+            dw2_ref[:, :] = dw2_acc[:, :]
+            db2_ref[:, :] = db2_acc[:, :]
+
+    return kernel
+
+
+def _bwd_pallas_head(hsave, tfsg, tails, ctx, w_fg, w_out, skip,
+                     targets_tb, w1, b1, w2, b2, dloss,
+                     dilations, rf, parity, interpret: bool):
+    n_layers, batch, t_total, r = hsave.shape
+    s = w_out.shape[2] - r
+    c = w2.shape[1]
+    has_ctx = ctx is not None
+    tile = pick_stack_tile(t_total, dilations)
+    n_tiles = t_total // tile
+    w_in = w_fg.shape[1]
+    small_pad = tails.shape[2]
+    offs2, total2 = [], 0
+    for d in dilations:
+        offs2.append(total2)
+        total2 += max(d, tile)
+
+    def rmap(b, j):
+        return (b, n_tiles - 1 - j, 0)
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if has_ctx:
+        ctx_spec = pl.BlockSpec((1, tile, r), rmap,
+                                memory_space=pltpu.VMEM)
+        ctx_arg = ctx
+    else:
+        ctx_spec = pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                                memory_space=pltpu.SMEM)
+        ctx_arg = jnp.zeros((1, 1), jnp.int32)
+
+    hsave_spec = pl.BlockSpec((n_layers, 1, tile, r),
+                              lambda b, j: (0, b, n_tiles - 1 - j, 0),
+                              memory_space=pltpu.VMEM)
+    tfsg_spec = pl.BlockSpec((n_layers, 1, tile, 2 * r),
+                             lambda b, j: (0, b, n_tiles - 1 - j, 0),
+                             memory_space=pltpu.VMEM)
+    tails_spec = pl.BlockSpec((1, 1, small_pad, r),
+                              lambda b, j: (b, n_tiles - 1 - j, 0, 0),
+                              memory_space=pltpu.VMEM)
+    big_layers = [l for l, d in enumerate(dilations) if d >= tile]
+    shift_specs = [
+        pl.BlockSpec((1, 1, tile, r),
+                     lambda b, j, l=l, d=dilations[l]: (
+                         l, b,
+                         jnp.maximum((n_tiles - 1 - j) - d // tile, 0),
+                         0),
+                     memory_space=pltpu.VMEM)
+        for l in big_layers
+    ]
+
+    outs = pl.pallas_call(
+        _bwd_kernel_head(tuple(dilations), r, s, has_ctx, tile,
+                         n_tiles, batch, hsave.dtype, tuple(offs2),
+                         rf, t_total, c, parity),
+        grid=(batch, n_tiles),
+        in_specs=[hsave_spec, tfsg_spec, tails_spec, ctx_spec, vm, vm,
+                  pl.BlockSpec((1, tile, s), rmap,
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile, batch),
+                               lambda b, j: (n_tiles - 1 - j, 0),
+                               memory_space=pltpu.VMEM),
+                  vm, vm, vm, vm, vm, vm,
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  *shift_specs],
+        out_specs=(
+            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            vm, vm, vm, vm, vm, vm, vm, vm,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, t_total, r), hsave.dtype),
+            jax.ShapeDtypeStruct((batch, t_total, r), hsave.dtype),
+            jax.ShapeDtypeStruct((n_layers * batch, 2 * r), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, w_in, 2 * r), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, r, r + s), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, r + s), jnp.float32),
+            jax.ShapeDtypeStruct((s, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((total2, r), jnp.float32),
+            pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
+            pltpu.VMEM((n_layers, r, r + s), jnp.float32),
+            pltpu.VMEM((n_layers, r + s), jnp.float32),
+            pltpu.VMEM((n_layers, 2 * r), jnp.float32),
+            pltpu.VMEM((s, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((c, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(hsave, tfsg, tails, ctx_arg,
+      jnp.swapaxes(w_fg, 1, 2), jnp.swapaxes(w_out, 1, 2),
+      skip, targets_tb, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+      jnp.swapaxes(w1, 0, 1), jnp.swapaxes(w2, 0, 1),
+      jnp.asarray([dloss], jnp.float32),
+      *([hsave] * len(big_layers)))
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+def fused_stack_head_loss(x, ctx, b_fg, w_fg, w_out, b_out,
+                          targets_tb, w1, b1, w2, b2,
+                          dilations: tuple, rf: int, parity: bool,
+                          interpret: bool = False):
+    """Whole trunk + output head + CE in one kernel per direction
+    (save strategy): returns (loss_sum, match_count) over the valid
+    region [RF-1, T-1) — the logits, per-position losses, and dskip
+    never materialize in HBM, and the head's matmuls ride the same
+    grid as the layer stack.
+
+    Equivalent to fused_stack followed by fused_head_loss (the loss is
+    computed from the same rounded skip accumulator both ways); the
+    combined VJP recomputes the head from the saved skip per tile and
+    feeds dskip straight into the layer gradient sweep.
+    """
+    loss, match, *_ = _fwd_pallas_head(
+        x, ctx, b_fg, w_fg, w_out, b_out, targets_tb, w1, b1, w2, b2,
+        dilations, rf, parity, interpret)
+    return loss, match
+
+
+def _fshl_fwd(x, ctx, b_fg, w_fg, w_out, b_out, targets_tb,
+              w1, b1, w2, b2, dilations, rf, parity, interpret):
+    loss, match, skip, hsave, tfsg, tails = _fwd_pallas_head(
+        x, ctx, b_fg, w_fg, w_out, b_out, targets_tb, w1, b1, w2, b2,
+        dilations, rf, parity, interpret)
+    return (loss, match), (hsave, tfsg, tails, ctx, w_fg, w_out, skip,
+                           targets_tb, w1, b1, w2, b2)
+
+
+def _fshl_bwd(dilations, rf, parity, interpret, saved, grads):
+    (hsave, tfsg, tails, ctx, w_fg, w_out, skip, targets_tb,
+     w1, b1, w2, b2) = saved
+    dloss, _ = grads  # the match count is not differentiated
+    (dx, dctx, db_fg, dw_fg, dw_out, db_out,
+     dw1, db1, dw2, db2) = _bwd_pallas_head(
+        hsave, tfsg, tails, ctx, w_fg, w_out, skip, targets_tb,
+        w1, b1, w2, b2, dloss, dilations, rf, parity, interpret)
+    if ctx is None:
+        dctx = None
+    return (dx, dctx, db_fg.astype(jnp.float32),
+            dw_fg.astype(w_fg.dtype), dw_out.astype(w_out.dtype),
+            db_out.astype(jnp.float32), None,
+            dw1.astype(w1.dtype), db1.reshape(-1).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(-1).astype(b2.dtype))
+
+
+fused_stack_head_loss.defvjp(_fshl_fwd, _fshl_bwd)
 
 
 # ----------------------------------------------- forward (tails mode)

@@ -55,24 +55,29 @@ def test_fused_trunk_matches_flax(video, glob, rng_np):
         gf, gu)
 
 
-def test_fused_train_loss_matches_unfused(rng_np):
-    """The fully-kernelized loss (stack + head/CE kernels) equals the
-    unfused loss and gradients exactly."""
+@pytest.mark.parametrize("merge_head", [False, True])
+@pytest.mark.parametrize("video", [False, True])
+def test_fused_train_loss_matches_unfused(video, merge_head, rng_np):
+    """The fully-kernelized loss (merged trunk+head/CE kernel) equals
+    the unfused loss and gradients exactly."""
     from movenet_tpu.models.fused import fused_train_loss
 
     cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=64,
                       residual_channels=16, skip_channels=16,
-                      compute_dtype="float32", global_classes=3)
+                      compute_dtype="float32", global_classes=3,
+                      max_audio_frames=12800, max_video_frames=128)
     model = make_wavenet(cfg)
-    codes = jnp.asarray(rng_np.integers(0, 64, size=(2, 1024)),
-                        jnp.int32)
+    t = 12800 if video else 1024
+    codes = jnp.asarray(rng_np.integers(0, 64, size=(2, t)), jnp.int32)
+    vid = jnp.asarray(rng_np.standard_normal((2, 128, 64, 64, 1)),
+                      jnp.float32) if video else None
     labels = jnp.asarray([0, 2], jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), codes, None, labels,
+    variables = model.init(jax.random.PRNGKey(0), codes, vid, labels,
                            method=WaveNet.init_all)
     rf = model.receptive_fields
 
     def unfused(p):
-        lg = model.apply({"params": p}, codes, None, labels,
+        lg = model.apply({"params": p}, codes, vid, labels,
                          method=WaveNet.train_logits)
         pr = jax.nn.softmax(lg, -1)
         tgt = codes[:, rf:][..., None]
@@ -80,8 +85,9 @@ def test_fused_train_loss_matches_unfused(rng_np):
                 - jnp.take_along_axis(pr, tgt, -1)).mean()
 
     def fused(p):
-        loss, _ = fused_train_loss(model, p, codes, None, labels,
-                                   parity=True, interpret=True)
+        loss, _ = fused_train_loss(model, p, codes, vid, labels,
+                                   parity=True, interpret=True,
+                                   merge_head=merge_head)
         return loss
 
     np.testing.assert_allclose(float(fused(variables["params"])),
