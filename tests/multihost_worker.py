@@ -14,6 +14,11 @@ import json
 import os
 import sys
 
+# the worker is spawned as a bare script: its sys.path[0] is tests/,
+# so the repo root must be added for `import movenet_tpu` to resolve
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def main() -> None:
     port, pid, out_path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
