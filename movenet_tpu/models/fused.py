@@ -29,15 +29,22 @@ def supports_fused(model: WaveNet, time_steps: int) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _front_embed(cur_table, past_table, codes, dt, vocab):
-    """Front causal conv as embedding gathers:
+    """Front causal conv as an embedding lookup:
     h[t] = cur[codes[t]] + past[codes[t-1]] (zero at t=0).
 
-    Custom VJP: the default gather backward is a 320k-row scatter-add
-    into a tiny (V, R) table — slow on TPU.  The backward here is two
-    one-hot matmuls (dW = onehot(codes)^T @ dh), which the MXU eats.
+    Both directions are one-hot MXU matmuls: TPU row gathers of 320k
+    indices from a tiny (V, R) table cost ~1 ms on v5e (measured,
+    scripts/probe_encoders.py) where the equivalent one-hot matmul is
+    ~3x faster — one-hot rows select exactly one table entry, so the
+    result is bit-identical to the gather.  The default gather VJP
+    would be worse still (a 320k-row scatter-add).
     """
-    cur = jnp.take(cur_table.astype(dt), codes, axis=0)
-    prev = jnp.take(past_table.astype(dt), codes, axis=0)
+    oh = jax.nn.one_hot(codes, vocab, dtype=dt)
+    table = jnp.concatenate([cur_table, past_table],
+                            axis=1).astype(dt)           # (V, 2R)
+    both = jnp.dot(oh, table, preferred_element_type=dt)  # (B, T, 2R)
+    r = cur_table.shape[1]
+    cur, prev = both[..., :r], both[..., r:]
     return cur + jnp.pad(prev, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
 
 
@@ -65,9 +72,12 @@ def _fe_bwd(dt, vocab, saved, dh):
 _front_embed.defvjp(_fe_fwd, _fe_bwd)
 
 
-def _prepare_trunk(model: WaveNet, params, codes, video, labels):
+def _prepare_trunk(model: WaveNet, params, codes, video, labels,
+                   want_h: bool = True):
     """Shared prologue: encoders + front embedding + per-layer packed
-    weights; returns (h, ctx, block_weights)."""
+    weights; returns (h, ctx, block_weights).  ``want_h=False`` skips
+    the front embedding (h is None) — used by the embed-folded
+    whole-stack kernel, which computes it per tile in VMEM."""
     b, t = codes.shape
     if t % TILE:
         raise ValueError(
@@ -92,9 +102,11 @@ def _prepare_trunk(model: WaveNet, params, codes, video, labels):
                                  method=WaveNet.embed_global)
         global_vec = global_vec.astype(jnp.float32)
 
-    # front causal conv as embedding gathers (matmul-form backward)
-    h = _front_embed(params["front_cur"], params["front_past"], codes,
-                     dt, params["front_cur"].shape[0])
+    # front causal conv as an embedding lookup (one-hot matmul)
+    h = None
+    if want_h:
+        h = _front_embed(params["front_cur"], params["front_past"],
+                         codes, dt, params["front_cur"].shape[0])
 
     def block_weights(i):
         blk = params[f"block_{i}"]
@@ -123,17 +135,41 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
                  interpret: bool):
     """Shared fused trunk: codes (+video/labels) -> skip_sum (B,T,S)."""
     b, t = codes.shape
+    r = model.residual_channels
+    vocab = params["front_cur"].shape[0]
+    dt = jnp.bfloat16 if model.compute_dtype == jnp.bfloat16 \
+        else jnp.float32
     h, ctx, block_weights = _prepare_trunk(model, params, codes, video,
-                                           labels)
+                                           labels, want_h=False)
     dilations = tuple(model.dilations)
     stacked = _stack_weights(model, block_weights, t, dilations)
     if stacked is not None:
-        from movenet_tpu.ops.pallas.stack_kernel import fused_stack
+        from movenet_tpu.ops.pallas.stack_kernel import (
+            fused_stack, fused_stack_embed, resolve_strategy)
 
         strategy, b_fg_all, w_fg_all, w_out_all, b_out_all = stacked
+        mode = resolve_strategy(strategy, (b, t, r), len(dilations),
+                                dilations, jnp.dtype(dt).itemsize)
+        if mode == "save" and 2 * vocab <= 512:
+            # front embedding folded into the kernel: no h / one-hot /
+            # dx round-trips through HBM (~0.5 ms/step saved)
+            codes_tb = codes.T
+            prev_tb = jnp.concatenate(
+                [jnp.full((b, 1), -1, jnp.int32), codes[:, :-1]],
+                axis=1).T
+            table2 = jnp.concatenate(
+                [params["front_cur"], params["front_past"]],
+                axis=0).astype(dt)
+            return fused_stack_embed(
+                codes_tb, prev_tb, table2, ctx, b_fg_all, w_fg_all,
+                w_out_all, b_out_all, dilations, dt, interpret)
+        h = _front_embed(params["front_cur"], params["front_past"],
+                         codes, dt, vocab)
         return fused_stack(h, ctx, b_fg_all, w_fg_all, w_out_all,
                            b_out_all, dilations, interpret, strategy)
 
+    h = _front_embed(params["front_cur"], params["front_past"], codes,
+                     dt, vocab)
     skip_sum = None
     for i, d in enumerate(dilations):
         b_fg, w_fg, w_out, b_out = block_weights(i)

@@ -65,6 +65,42 @@ def _pad8(n: int) -> int:
     return max(8, ((n + 7) // 8) * 8)
 
 
+def _gate(fg, r: int):
+    """(tf, sg) PixelCNN gating halves of the fg tile.
+
+    Two half-lane transcendentals.  Measured A/B on v5e: packing the
+    gating into ONE dense (tile, 2R) transcendental via pre-scaled
+    weights (tanh form: [tanh f | tanh(g/2)]; sigmoid form:
+    [sigmoid(2f) | sigmoid(g)]) is SLOWER than this unpacked pair
+    (+2.0 ms/step and +0.7 ms/step respectively on the breakdancing
+    config) — Mosaic's half-lane transcendentals don't pay the full
+    dense-lane cost, and tanh in particular is far more expensive than
+    sigmoid per lane.
+    """
+    return jnp.tanh(fg[:, :r]), jax.nn.sigmoid(fg[:, r:])
+
+
+def _dfg_from_v(v, dgated, r: int):
+    """(gated, d[f|g]) from the saved packed gating tile v = [tf | sg].
+
+    Dense-lane formulation (measured -0.7 ms/step vs six half-lane ops
+    on v5e, scripts/exp_trunk_bwd.py 'packeddfg'): with
+    rolled = [sg | tf] and mix = [1 - tf^2 | sg - sg^2],
+      dfg = [dgated | dgated] * rolled * mix
+          = [dgated * sg * (1 - tf^2) | dgated * tf * sg * (1 - sg)].
+    """
+    vv = v * v
+    u = 1.0 - vv                       # [1 - tf^2 | 1 - sg^2]
+    w2 = v - vv                        # [tf - tf^2 | sg - sg^2]
+    rolled = pltpu.roll(v, r, 1)       # [sg | tf]
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    mix = jnp.where(lane < r, u, w2)
+    dgated2 = jnp.concatenate([dgated, dgated], axis=1)
+    dfg = dgated2 * (rolled * mix)
+    gated = v[:, :r] * v[:, r:]
+    return gated, dfg
+
+
 def _split_ring_offsets(dilations, tile: int):
     """Ring offsets with the d<tile layers packed FIRST, so the prefix
     of the ring is exactly the per-tile boundary state ("tails") the
@@ -124,14 +160,34 @@ def resolve_strategy(strategy: str, x_shape, n_layers: int,
 
 
 # --------------------------------------------------------------- forward
+def _embed_onehot(codes_ref, prev_ref, b_idx, tile: int, vocab: int):
+    """Packed causal-embedding one-hot: (tile, 2V) with the current
+    code's one-hot in columns [0, V) and the previous code's in
+    [V, 2V), so ONE K=2V matmul against the stacked [cur; past] table
+    computes h[t] = cur[codes[t]] + past[codes[t-1]].  Out-of-range
+    codes (-1 marks t=0, which has no past tap) contribute zeros."""
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, codes_ref.shape, 1)
+    sel = (lane_b == b_idx)
+    cur_col = jnp.sum(jnp.where(sel, codes_ref[:, :], 0), axis=1,
+                      keepdims=True)                     # (tile, 1)
+    prev_col = jnp.sum(jnp.where(sel, prev_ref[:, :], 0), axis=1,
+                       keepdims=True)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (tile, 2 * vocab), 1)
+    tgt2 = jnp.where(lane_c < vocab, cur_col, prev_col + vocab)
+    return (lane_c == tgt2).astype(jnp.float32)
+
+
 def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
-                out_dtype, n_batch: int):
+                out_dtype, n_batch: int, embed_vocab: int = 0):
     n_layers = len(dilations)
     offs, small_total, _ = _split_ring_offsets(dilations, tile)
     small_pad = _pad8(small_total)
 
     def kernel(x_ref, ctx_ref, b_fg_ref, w_fg_ref, w_out_ref, b_out_ref,
-               skip_ref, hsave_ref, tfsg_ref, tails_ref, ring_ref):
+               *rest):
+        if embed_vocab:
+            prev_ref, table2_ref, *rest = rest
+        (skip_ref, hsave_ref, tfsg_ref, tails_ref, ring_ref) = rest
         b_idx = pl.program_id(0)
         ti = pl.program_id(1)
         t0 = ti * tile
@@ -145,7 +201,16 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
         tails_ref[0, 0] = ring_ref[pl.ds(0, small_pad), :].astype(
             out_dtype)
 
-        h = x_ref[0].astype(jnp.float32)
+        if embed_vocab:
+            oh2 = _embed_onehot(x_ref, prev_ref, b_idx, tile,
+                                embed_vocab)
+            h = _dot(oh2, table2_ref[:, :])
+            if out_dtype != jnp.float32:
+                # round like the XLA path so hsave (what the backward
+                # sees) matches the h the forward actually used
+                h = h.astype(out_dtype).astype(jnp.float32)
+        else:
+            h = x_ref[0].astype(jnp.float32)
         ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
         skip_acc = jnp.zeros((tile, s), jnp.float32)
 
@@ -164,8 +229,7 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
             hp = jnp.concatenate(parts, axis=1)
             fg = _dot(hp, w_fg_ref[l]) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            tf = jnp.tanh(fg[:, :r])
-            sg = jax.nn.sigmoid(fg[:, r:])
+            tf, sg = _gate(fg, r)
             # packed [tf | sg]: 2R = 128 lanes exactly, so this write is
             # padding-free; the backward reads it instead of re-running
             # the K=192 fg matmul (the largest FLOP class in the VJP)
@@ -182,8 +246,18 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
 
 
 def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
-                interpret: bool):
-    batch, t_total, r = x.shape
+                interpret: bool, embed=None, dtype=None):
+    """embed=(codes_tb, codes_prev_tb, table2) replaces x: the front
+    causal-conv embedding is computed IN the kernel (one-hot matmul per
+    tile), so neither h nor any one-hot matrix touches HBM."""
+    if embed is None:
+        batch, t_total, r = x.shape
+        dtype = x.dtype
+    else:
+        codes_tb, codes_prev_tb, table2 = embed
+        t_total, batch = codes_tb.shape
+        r = table2.shape[1]
+        vocab = table2.shape[0] // 2
     s = w_out.shape[2] - r
     has_ctx = ctx is not None
     n_layers = len(dilations)
@@ -205,13 +279,24 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         ctx_arg = jnp.zeros((1, 1), jnp.int32)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    if embed is None:
+        lead_args = (x,)
+        lead_specs = [pl.BlockSpec((1, tile, r), tmap,
+                                   memory_space=pltpu.VMEM)]
+        mid_args, mid_specs = (), []
+    else:
+        code_spec = pl.BlockSpec((tile, batch), lambda b, i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        lead_args = (codes_tb,)
+        lead_specs = [code_spec]
+        mid_args = (codes_prev_tb, table2)
+        mid_specs = [code_spec, vm]
+
     skip, hsave, tfsg, tails = pl.pallas_call(
-        _fwd_kernel(tuple(dilations), r, s, has_ctx, tile, x.dtype,
-                    batch),
+        _fwd_kernel(tuple(dilations), r, s, has_ctx, tile, dtype,
+                    batch, embed_vocab=0 if embed is None else vocab),
         grid=(batch, n_tiles),
-        in_specs=[pl.BlockSpec((1, tile, r), tmap,
-                               memory_space=pltpu.VMEM),
-                  ctx_spec, vm, vm, vm, vm],
+        in_specs=lead_specs + [ctx_spec, vm, vm, vm, vm] + mid_specs,
         out_specs=(
             pl.BlockSpec((1, tile, s), tmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((n_layers, 1, tile, r),
@@ -225,12 +310,12 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, t_total, s), x.dtype),
-            jax.ShapeDtypeStruct((n_layers, batch, t_total, r), x.dtype),
+            jax.ShapeDtypeStruct((batch, t_total, s), dtype),
+            jax.ShapeDtypeStruct((n_layers, batch, t_total, r), dtype),
             jax.ShapeDtypeStruct((n_layers, batch, t_total, 2 * r),
-                                 x.dtype),
+                                 dtype),
             jax.ShapeDtypeStruct((batch, n_tiles, small_pad, r),
-                                 x.dtype),
+                                 dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((max(ring_rows, small_pad, 8), r), jnp.float32),
@@ -238,7 +323,7 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, ctx_arg, b_fg, w_fg, w_out, b_out)
+    )(*lead_args, ctx_arg, b_fg, w_fg, w_out, b_out, *mid_args)
     return skip, hsave, tfsg, tails
 
 
@@ -289,8 +374,7 @@ def _fwd_kernel_head(dilations, r: int, s: int, has_ctx: bool,
             hp = jnp.concatenate(parts, axis=1)
             fg = _dot(hp, w_fg_ref[l]) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            tf = jnp.tanh(fg[:, :r])
-            sg = jax.nn.sigmoid(fg[:, r:])
+            tf, sg = _gate(fg, r)
             tfsg_ref[l, 0] = jnp.concatenate([tf, sg],
                                              axis=1).astype(out_dtype)
             gated = tf * sg
@@ -474,6 +558,8 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
         # ---- layer backward (identical to _bwd_kernel_padded)
         dh = jnp.zeros((tile, r), jnp.float32)
         dctx_acc = jnp.zeros((tile, r), jnp.float32) if has_ctx else None
+        ones_col = jnp.ones((tile, 1), jnp.float32)
+        w_in = (3 if has_ctx else 2) * r
 
         for l in reversed(range(n_layers)):
             d = dilations[l]
@@ -488,25 +574,22 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
                 shifted = jnp.concatenate(
                     [tails_ref[0, 0, pl.ds(tail_offs[l], d), :].astype(
                         jnp.float32), h[: tile - d, :]], axis=0)
-            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            parts = [h, shifted] + ([ctx] if has_ctx else []) \
+                + [ones_col]
             hp = jnp.concatenate(parts, axis=1)
-            tfsg = tfsg_ref[l, 0].astype(jnp.float32)
-            tf = tfsg[:, :r]
-            sg = tfsg[:, r:]
-            gated = tf * sg
+            v = tfsg_ref[l, 0].astype(jnp.float32)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
             dgated = _dot(dout, w_out_t_ref[l])
-            df = dgated * sg * (1.0 - tf * tf)
-            dg = dgated * tf * sg * (1.0 - sg)
-            dfg = jnp.concatenate([df, dg], axis=1)
+            gated, dfg = _dfg_from_v(v, dgated, r)
 
-            dwfg_acc[l] += _dot_t0(hp, dfg)
-            dwout_acc[l] += _dot_t0(gated, dout)
-            dbout_acc[pl.ds(l, 1), :] += jnp.sum(dout, axis=0,
-                                                 keepdims=True)
-            dbfg_acc[pl.ds(l, 1), :] += jnp.sum(dfg, axis=0,
-                                                keepdims=True)
+            wf = _dot_t0(hp, dfg)
+            dwfg_acc[l] += wf[:w_in]
+            dbfg_acc[pl.ds(l, 1), :] += wf[w_in: w_in + 1]
+            go = jnp.concatenate([gated, ones_col], axis=1)
+            wo = _dot_t0(go, dout)
+            dwout_acc[l] += wo[:r]
+            dbout_acc[pl.ds(l, 1), :] += wo[r: r + 1]
 
             dfg_w = _dot(dfg, w_fg_t_ref[l])
             dh = dh + dfg_w[:, :r]
@@ -744,7 +827,8 @@ def _fwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
             hp = jnp.concatenate(parts, axis=1)
             fg = _dot(hp, w_fg_ref[l]) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
+            tf, sg = _gate(fg, r)
+            gated = tf * sg
             out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
             skip_acc = skip_acc + out[:, r:]
             h = out[:, :r] + h
@@ -850,7 +934,10 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
             hp = jnp.concatenate(parts, axis=1)
             fg = _dot(hp, w_fg_ref[l]) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
+            # same op sequence as the forward so the rebuilt h is
+            # bit-identical
+            tf, sg = _gate(fg, r)
+            gated = tf * sg
             # only the residual half of the output projection is needed
             res = _dot(gated, w_out_ref[l][:, :r]) \
                 + b_out_ref[pl.ds(l, 1), :][:, :r]
@@ -874,15 +961,11 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
             hp = jnp.concatenate(parts, axis=1)
             fg = _dot(hp, w_fg_ref[l]) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            tf = jnp.tanh(fg[:, :r])
-            sg = jax.nn.sigmoid(fg[:, r:])
-            gated = tf * sg
+            v = jnp.concatenate(_gate(fg, r), axis=1)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
             dgated = _dot(dout, w_out_t_ref[l])
-            df = dgated * sg * (1.0 - tf * tf)
-            dg = dgated * tf * sg * (1.0 - sg)
-            dfg = jnp.concatenate([df, dg], axis=1)
+            gated, dfg = _dfg_from_v(v, dgated, r)
 
             dwfg_acc[l] += _dot_t0(hp, dfg)
             dwout_acc[l] += _dot_t0(gated, dout)
@@ -934,6 +1017,8 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
     n_tiles = t_total // tile
     w_in = w_fg.shape[1]
     n_layers = len(dilations)
+    # the in-kernel forward recompute uses the same pre-scaled fg
+    # weights as the forward pass; w_fg_t (for dfg_w) stays original
 
     def rmap(b, j):
         return (b, n_tiles - 1 - j, 0)
@@ -992,7 +1077,9 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
 
 # -------------------------------------------------------------- backward
 def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
-                dilations, interpret: bool):
+                dilations, interpret: bool, embed=None):
+    """embed=(codes_tb, codes_prev_tb, vocab): the first output becomes
+    the stacked-table gradient (2V, R) f32 instead of dx (B, T, R)."""
     n_layers, batch, t_total, r = hsave.shape
     s = w_out.shape[2] - r
     has_ctx = ctx is not None
@@ -1041,29 +1128,48 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         for l in big_layers
     ]
 
+    if embed is None:
+        embed_args, embed_specs, vocab = (), [], 0
+        dx_shape = jax.ShapeDtypeStruct((batch, t_total, r),
+                                        hsave.dtype)
+        dx_spec = pl.BlockSpec((1, tile, r), rmap,
+                               memory_space=pltpu.VMEM)
+        embed_scratch = []
+    else:
+        codes_tb, codes_prev_tb, vocab = embed
+        code_spec = pl.BlockSpec((tile, batch),
+                                 lambda b, j: (n_tiles - 1 - j, 0),
+                                 memory_space=pltpu.VMEM)
+        embed_args = (codes_tb, codes_prev_tb)
+        embed_specs = [code_spec, code_spec]
+        dx_shape = jax.ShapeDtypeStruct((2 * vocab, r), jnp.float32)
+        dx_spec = vm
+        embed_scratch = [pltpu.VMEM((2 * vocab, r), jnp.float32)]
+
     outs = pl.pallas_call(
         _bwd_kernel_padded(tuple(dilations), r, s, has_ctx, tile,
                            n_tiles, batch,
-                           hsave.dtype, tuple(offs2)),
+                           hsave.dtype, tuple(offs2),
+                           embed_vocab=vocab),
         grid=(batch, n_tiles),
         in_specs=[hsave_spec, tfsg_spec, tails_spec, ctx_spec, vm, vm,
                   pl.BlockSpec((1, tile, s), rmap,
                                memory_space=pltpu.VMEM),
-                  *shift_specs],
+                  *embed_specs, *shift_specs],
         out_specs=(
-            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
+            dx_spec,
             pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
             vm, vm, vm, vm,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, t_total, r), hsave.dtype),
+            dx_shape,
             jax.ShapeDtypeStruct((batch, t_total, r), hsave.dtype),
             jax.ShapeDtypeStruct((n_layers * batch, 2 * r), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, w_in, 2 * r), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, r, r + s), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, r + s), jnp.float32),
         ),
-        scratch_shapes=[
+        scratch_shapes=embed_scratch + [
             pltpu.VMEM((total2, r), jnp.float32),
             pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
@@ -1075,13 +1181,18 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         interpret=interpret,
     )(hsave, tfsg, tails, ctx_arg,
       jnp.swapaxes(w_fg, 1, 2), jnp.swapaxes(w_out, 1, 2),
-      dskip, *([hsave] * len(big_layers)))
+      dskip, *embed_args, *([hsave] * len(big_layers)))
     return outs
 
 
 def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
-                       n_batch, in_dtype, ring_offs):
-    """_bwd_kernel with explicit (padded) ring offsets."""
+                       n_batch, in_dtype, ring_offs,
+                       embed_vocab: int = 0):
+    """_bwd_kernel with explicit (padded) ring offsets.
+
+    embed_vocab > 0: the layer-0 input gradient is contracted against
+    the tile's rebuilt embedding one-hot into a stacked-table gradient
+    (2V, R) instead of being written out as dx (B, T, R)."""
     n_layers = len(dilations)
     tail_offs, _, _ = _split_ring_offsets(dilations, tile)
     big_layers = [l for l, d in enumerate(dilations) if d >= tile]
@@ -1090,10 +1201,15 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
     def kernel(*refs):
         (hsave_ref, tfsg_ref, tails_ref, ctx_ref, w_fg_t_ref,
          w_out_t_ref, dskip_ref, *rest) = refs
+        if embed_vocab:
+            codes_ref, prev_ref, *rest = rest
         shift_refs = rest[:len(big_layers)]
         (dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
-         db_out_ref, dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
-         dbfg_acc) = rest[len(big_layers):]
+         db_out_ref, *rest) = rest[len(big_layers):]
+        if embed_vocab:
+            dtab_acc, *rest = rest
+        (dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
+         dbfg_acc) = rest
 
         b_idx = pl.program_id(0)
         rj = pl.program_id(1)
@@ -1106,6 +1222,8 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             dwfg_acc[:, :, :] = jnp.zeros(dwfg_acc.shape, jnp.float32)
             dwout_acc[:, :, :] = jnp.zeros(dwout_acc.shape, jnp.float32)
             dbout_acc[:, :] = jnp.zeros(dbout_acc.shape, jnp.float32)
+            if embed_vocab:
+                dtab_acc[:, :] = jnp.zeros(dtab_acc.shape, jnp.float32)
 
         @pl.when(rj == 0)
         def _():
@@ -1116,6 +1234,8 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
         dh = jnp.zeros((tile, r), jnp.float32)
         dskip = dskip_ref[0].astype(jnp.float32)
         dctx_acc = jnp.zeros((tile, r), jnp.float32) if has_ctx else None
+        ones_col = jnp.ones((tile, 1), jnp.float32)
+        w_in = (3 if has_ctx else 2) * r
 
         for l in reversed(range(n_layers)):
             d = dilations[l]
@@ -1132,25 +1252,27 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 shifted = jnp.concatenate(
                     [tails_ref[0, 0, pl.ds(tail_offs[l], d), :].astype(
                         jnp.float32), h[: tile - d, :]], axis=0)
-            parts = [h, shifted] + ([ctx] if has_ctx else [])
+            # ones-column augmentation: the bias gradients ride the
+            # wgrad matmuls as an extra output row (M 192->193 and
+            # 64->65 stay within the same MXU chunk counts), replacing
+            # two full-tile reduces per layer (-0.6 ms/step measured,
+            # scripts/exp_trunk_bwd.py 'fold_bias')
+            parts = [h, shifted] + ([ctx] if has_ctx else []) \
+                + [ones_col]
             hp = jnp.concatenate(parts, axis=1)
-            tfsg = tfsg_ref[l, 0].astype(jnp.float32)
-            tf = tfsg[:, :r]
-            sg = tfsg[:, r:]
-            gated = tf * sg
+            v = tfsg_ref[l, 0].astype(jnp.float32)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
             dgated = _dot(dout, w_out_t_ref[l])
-            df = dgated * sg * (1.0 - tf * tf)
-            dg = dgated * tf * sg * (1.0 - sg)
-            dfg = jnp.concatenate([df, dg], axis=1)
+            gated, dfg = _dfg_from_v(v, dgated, r)
 
-            dwfg_acc[l] += _dot_t0(hp, dfg)
-            dwout_acc[l] += _dot_t0(gated, dout)
-            dbout_acc[pl.ds(l, 1), :] += jnp.sum(dout, axis=0,
-                                                 keepdims=True)
-            dbfg_acc[pl.ds(l, 1), :] += jnp.sum(dfg, axis=0,
-                                                keepdims=True)
+            wf = _dot_t0(hp, dfg)                      # (W_in+1, 2R)
+            dwfg_acc[l] += wf[:w_in]
+            dbfg_acc[pl.ds(l, 1), :] += wf[w_in: w_in + 1]
+            go = jnp.concatenate([gated, ones_col], axis=1)
+            wo = _dot_t0(go, dout)                     # (R+1, R+S)
+            dwout_acc[l] += wo[:r]
+            dbout_acc[pl.ds(l, 1), :] += wo[r: r + 1]
 
             dfg_w = _dot(dfg, w_fg_t_ref[l])
             dh = dh + dfg_w[:, :r]
@@ -1169,7 +1291,14 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
 
-        dx_ref[0] = dh.astype(in_dtype)
+        if embed_vocab:
+            # dx_ref doubles as the (2V, R) stacked-table gradient,
+            # accumulated in scratch and emitted once at the end
+            oh2 = _embed_onehot(codes_ref, prev_ref, b_idx, tile,
+                                embed_vocab)
+            dtab_acc[:, :] += _dot_t0(oh2, dh)
+        else:
+            dx_ref[0] = dh.astype(in_dtype)
         if has_ctx:
             dctx_ref[0] = dctx_acc.astype(in_dtype)
         else:
@@ -1187,6 +1316,8 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             dw_fg_ref[:, :, :] = dwfg_acc[:, :, :]
             dw_out_ref[:, :, :] = dwout_acc[:, :, :]
             db_out_ref[:, :] = dbout_acc[:, :]
+            if embed_vocab:
+                dx_ref[:, :] = dtab_acc[:, :].astype(dx_ref.dtype)
 
     return kernel
 
@@ -1252,3 +1383,61 @@ def _fs_bwd(dilations, interpret, strategy, saved, dskip):
 
 
 fused_stack.defvjp(_fs_fwd, _fs_bwd)
+
+
+# ----------------------------------- public op (embedded front conv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_stack_embed(codes_tb, codes_prev_tb, table2, ctx, b_fg,
+                      w_fg, w_out, b_out, dilations: tuple,
+                      compute_dtype, interpret: bool = False):
+    """fused_stack with the front causal-conv embedding folded INTO
+    the kernel (save strategy only).
+
+    The XLA formulation (models/fused._front_embed) materializes the
+    (B, T, 2V) one-hot and the (B, T, R) embedding h in HBM in the
+    forward, and again in the backward (~0.5 ms/step on the
+    breakdancing config); here each tile rebuilds its (tile, 2V)
+    one-hot in VMEM (3 VPU ops), h costs one K=2V matmul, and the
+    backward contracts the layer-0 gradient against the same one-hot
+    into the stacked-table gradient without ever writing dx.
+
+    Args:
+      codes_tb: (T, B) int32 mu-law codes (time-major).
+      codes_prev_tb: (T, B) int32, row t = codes[t-1]; row 0 must be a
+        sentinel OUTSIDE [0, V) (no past tap at t=0).
+      table2: (2V, R) stacked [front_cur; front_past] table, in the
+        compute dtype.
+      Remaining args as fused_stack.
+    Returns:
+      skip_sum (B, T, S) in compute_dtype.
+    """
+    skip, _, _, _ = _fwd_pallas(
+        None, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
+        embed=(codes_tb, codes_prev_tb, table2), dtype=compute_dtype)
+    return skip
+
+
+def _fse_fwd(codes_tb, codes_prev_tb, table2, ctx, b_fg, w_fg, w_out,
+             b_out, dilations, compute_dtype, interpret):
+    skip, hsave, tfsg, tails = _fwd_pallas(
+        None, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
+        embed=(codes_tb, codes_prev_tb, table2), dtype=compute_dtype)
+    return skip, (hsave, tfsg, tails, ctx, w_fg, w_out,
+                  codes_tb, codes_prev_tb, table2)
+
+
+def _fse_bwd(dilations, compute_dtype, interpret, saved, dskip):
+    (hsave, tfsg, tails, ctx, w_fg, w_out,
+     codes_tb, codes_prev_tb, table2) = saved
+    vocab = table2.shape[0] // 2
+    dtab, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
+        hsave, tfsg, tails, ctx, w_fg, w_out, dskip, dilations,
+        interpret, embed=(codes_tb, codes_prev_tb, vocab))
+    if ctx is None:
+        dctx = None
+    return (None, None, dtab.astype(table2.dtype), dctx,
+            db_fg.astype(jnp.float32), dw_fg.astype(w_fg.dtype),
+            dw_out.astype(w_out.dtype), db_out.astype(jnp.float32))
+
+
+fused_stack_embed.defvjp(_fse_fwd, _fse_bwd)

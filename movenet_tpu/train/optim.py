@@ -12,7 +12,7 @@ curves, so loss trajectories are comparable run-for-run.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -338,8 +338,25 @@ def _rmsprop_scheduled_momentum(lr_fn, m_fn, alpha: float = 0.99,
 
 
 # -------------------------------------------------------------- optimizers
+class FlatGradientTransformation(NamedTuple):
+    """optax.GradientTransformation plus the unwrapped `core` that
+    operates directly on ONE flat vector.
+
+    The train loop uses `core` to run the whole update flat end-to-end
+    (grads taken w.r.t. the raveled vector): the tree<->vector
+    conversions otherwise cost ~1 ms/step of tiny-kernel launches.
+    `init`/`update` keep the tree-in/tree-out contract for callers that
+    have trees (eval tools, tests); both views share the same optimizer
+    state (core.init on the flat vector).
+    """
+
+    init: Callable
+    update: Callable
+    core: optax.GradientTransformation
+
+
 def flatten_transform(
-        tx: optax.GradientTransformation) -> optax.GradientTransformation:
+        tx: optax.GradientTransformation) -> FlatGradientTransformation:
     """Run a GradientTransformation over ONE concatenated parameter
     vector instead of the parameter tree.
 
@@ -363,7 +380,7 @@ def flatten_transform(
         new_flat, state = tx.update(flat_u, state, flat_p)
         return unravel(new_flat), state
 
-    return optax.GradientTransformation(init, update)
+    return FlatGradientTransformation(init, update, tx)
 
 
 def make_optimizer(config, steps_per_epoch: Optional[int] = None

@@ -1,11 +1,10 @@
 """Component-level timing of the fused train step on the real chip.
 
 Breaks the breakdancing train step (bench.py secondary metric) into its
-pieces so kernel work can be attributed: trunk fwd, trunk fwd+bwd,
-head/CE fwd(+bwd), video encoder, front embedding, optimizer update,
-and the full step.  Uses the amortized-dispatch timing protocol from
-bench.py (the axon tunnel adds ~30 ms per sync; dispatch `reps`
-serialized calls and transfer once).
+pieces so kernel work can be attributed.  Every timed function returns
+only SCALARS: returning multi-hundred-MB pallas outputs (hsave/tfsg)
+makes each queued dispatch block on HBM allocation, which adds a ~30 ms
+tunnel sync per rep and wrecks the measurement.
 
 Run:  python scripts/microbench_trunk.py [--reps 32]
 """
@@ -23,40 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def timed(fn, reps):
-    out = fn()
-    jax_block(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    jax_block(out)
-    return (time.perf_counter() - t0) / reps
-
-
-def jax_block(tree):
-    import jax
-
-    for leaf in jax.tree_util.tree_leaves(tree):
-        np.asarray(leaf)
-        break
-    else:
-        return
-    # one transfer is enough to drain the queue (serialized device)
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reps", type=int, default=32)
     args = p.parse_args()
+    reps = args.reps
 
     import jax
     import jax.numpy as jnp
 
     import bench
     from movenet_tpu.models.fused import (
-        _front_embed, _fused_trunk, _prepare_trunk, _stack_weights,
-        fused_train_loss)
-    from movenet_tpu.models.wavenet import WaveNet
+        _fused_trunk, _prepare_trunk, _stack_weights, fused_train_loss)
     from movenet_tpu.ops.pallas.head_loss import fused_head_loss
     from movenet_tpu.train import make_train_step
 
@@ -65,62 +42,68 @@ def main():
     codes, video = batch.codes, batch.video
     b, t = codes.shape
     rows = {}
-    reps = args.reps
 
-    # ---- full train step
+    def timed(fn, *a):
+        out = fn(*a)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0) / reps
+
+    # ---- full train step (state-chained like bench.py)
     step = jax.jit(make_train_step(model, cfg))
-    rows["full_train_step"] = timed(lambda: step(state, batch)[1]["loss"],
-                                    reps)
 
-    # ---- fused loss fwd only (trunk + head, no grad)
-    loss_fn = jax.jit(lambda p: fused_train_loss(model, p, codes, video,
-                                                 None, True)[0])
-    rows["loss_fwd_only"] = timed(lambda: loss_fn(params), reps)
+    def run_step():
+        nonlocal state
+        state, m = step(state, batch)
+        return m["loss"]
 
-    # ---- fused loss fwd+bwd (no optimizer)
-    grad_fn = jax.jit(jax.value_and_grad(
-        lambda p: fused_train_loss(model, p, codes, video, None,
-                                   True)[0]))
-    rows["loss_fwd_bwd"] = timed(lambda: grad_fn(params)[0], reps)
+    out = run_step()
+    np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run_step()
+    np.asarray(out)
+    rows["full_train_step"] = (time.perf_counter() - t0) / reps
 
-    # ---- trunk alone (fwd), with encoders included then separated
-    @jax.jit
-    def trunk_fwd(p):
-        return _fused_trunk(model, p, codes, video, None, False)
+    # ---- loss fwd only
+    loss_fn = jax.jit(lambda p: fused_train_loss(
+        model, p, codes, video, None, True)[0])
+    rows["loss_fwd_only"] = timed(loss_fn, params)
 
-    rows["trunk_fwd_incl_encoders"] = timed(lambda: trunk_fwd(params),
-                                            reps)
+    # ---- loss fwd+bwd
+    grad_fn = jax.jit(lambda p: jax.tree_util.tree_map(
+        jnp.sum,
+        jax.grad(lambda q: fused_train_loss(model, q, codes, video,
+                                            None, True)[0])(p)))
+    rows["loss_fwd_bwd"] = timed(
+        lambda p: grad_fn(p)["front_cur"], params)
 
-    @jax.jit
-    def trunk_fwd_bwd(p):
-        def f(p):
-            s = _fused_trunk(model, p, codes, video, None, False)
-            return jnp.sum(s.astype(jnp.float32))
-        return jax.grad(f)(p)
+    # ---- trunk fwd (incl. encoders), scalar output
+    trunk_fwd = jax.jit(lambda p: jnp.sum(
+        _fused_trunk(model, p, codes, video, None, False)
+        .astype(jnp.float32)))
+    rows["trunk_fwd_incl_encoders"] = timed(trunk_fwd, params)
 
-    rows["trunk_fwd_bwd_incl_encoders"] = timed(
-        lambda: trunk_fwd_bwd(params), reps)
+    trunk_fwd_bwd = jax.jit(lambda p: jnp.sum(
+        jax.grad(lambda q: jnp.sum(
+            _fused_trunk(model, q, codes, video, None, False)
+            .astype(jnp.float32)))(p)["front_cur"]))
+    rows["trunk_fwd_bwd_incl_encoders"] = timed(trunk_fwd_bwd, params)
 
-    # ---- encoders alone: video + front embed + weight packing
-    @jax.jit
-    def encoders(p):
+    # ---- encoders alone (video encoder + front embed + weight packing)
+    def enc(p):
         h, ctx, bw = _prepare_trunk(model, p, codes, video, None)
         st = _stack_weights(model, bw, t, tuple(model.dilations))
-        return h, ctx, st[1]
+        return (jnp.sum(h.astype(jnp.float32))
+                + jnp.sum(ctx.astype(jnp.float32)) + jnp.sum(st[1]))
 
-    rows["encoders_fwd"] = timed(lambda: encoders(params), reps)
-
-    @jax.jit
-    def encoders_bwd(p):
-        def f(p):
-            h, ctx, bw = _prepare_trunk(model, p, codes, video, None)
-            st = _stack_weights(model, bw, t, tuple(model.dilations))
-            return (jnp.sum(h.astype(jnp.float32))
-                    + jnp.sum(ctx.astype(jnp.float32))
-                    + jnp.sum(st[1]))
-        return jax.grad(f)(p)
-
-    rows["encoders_fwd_bwd"] = timed(lambda: encoders_bwd(params), reps)
+    rows["encoders_fwd"] = timed(jax.jit(enc), params)
+    rows["encoders_fwd_bwd"] = timed(
+        jax.jit(lambda p: jnp.sum(jax.grad(enc)(p)["front_cur"])),
+        params)
 
     # ---- head/CE alone on a realistic skip input
     rng = np.random.default_rng(0)
@@ -128,43 +111,20 @@ def main():
     targets_tb = jnp.roll(codes, -1, axis=1).T
     rf = model.receptive_fields
 
-    @jax.jit
-    def head_fwd(p, skip):
+    def head(p, s):
         return fused_head_loss(
-            skip, targets_tb, p["head1"]["kernel"], p["head1"]["bias"],
+            s, targets_tb, p["head1"]["kernel"], p["head1"]["bias"],
             p["head2"]["kernel"], p["head2"]["bias"], rf, True, False)[0]
 
-    rows["head_ce_fwd"] = timed(lambda: head_fwd(params, skip), reps)
-
-    @jax.jit
-    def head_fwd_bwd(p, skip):
-        return jax.grad(
-            lambda s: head_fwd(p, s).astype(jnp.float32))(skip)
-
-    rows["head_ce_fwd_bwd"] = timed(lambda: head_fwd_bwd(params, skip),
-                                    reps)
-
-    # ---- optimizer update alone
-    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-
-    @jax.jit
-    def opt_update(state):
-        updates, new_opt = state.tx.update(grads, state.opt_state,
-                                           state.params)
-        import optax
-        new_params = optax.apply_updates(state.params, updates)
-        return new_params
-
-    try:
-        rows["optimizer_update"] = timed(lambda: opt_update(state), reps)
-    except Exception as e:  # state API may differ; non-fatal
-        rows["optimizer_update"] = float("nan")
-        print("optimizer timing failed:", e)
+    rows["head_ce_fwd"] = timed(jax.jit(head), params, skip)
+    rows["head_ce_fwd_bwd"] = timed(
+        jax.jit(lambda p, s: jnp.sum(jax.grad(
+            lambda q: head(q, s).astype(jnp.float32))(p)
+            ["head1"]["kernel"])), params, skip)
 
     print(f"\n{'component':36s} {'ms':>8s}")
     for k, v in rows.items():
         print(f"{k:36s} {v * 1e3:8.3f}")
-    # derived
     d = rows
     print("\nderived:")
     print(f"{'trunk fwd (minus encoders)':36s} "

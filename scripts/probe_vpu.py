@@ -25,8 +25,10 @@ ROWS = 4000
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=64)
-    ap.add_argument("--reps", type=int, default=16)
+    # iters must be large enough that kernel time dominates the ~1.25 ms
+    # per-dispatch tunnel cost (sub-us ops need thousands of iters)
+    ap.add_argument("--iters", type=int, default=4096)
+    ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
     iters, reps = args.iters, args.reps
 
@@ -36,11 +38,11 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     def chain_kernel(op, cols):
-        """x -> op applied `iters` times in a serial chain."""
+        """x -> op applied `iters` times in a serial chain (fori_loop:
+        a Python unroll at thousands of iters explodes compile time)."""
         def kernel(x_ref, o_ref):
             x = x_ref[:, :cols]
-            for _ in range(iters):
-                x = op(x)
+            x = jax.lax.fori_loop(0, iters, lambda i, x: op(x), x)
             o_ref[:, :cols] = x
         return kernel
 
@@ -108,11 +110,13 @@ def main():
 
     def mm_chain(w, k):
         def kernel(x_ref, w_ref, o_ref):
-            x = x_ref[:, :]
-            for _ in range(iters):
-                x = jnp.dot(x[:, :k], w_ref[:, :],
+            def body(i, x):
+                y = jnp.dot(x[:, :k], w_ref[:, :],
                             preferred_element_type=jnp.float32)
-            o_ref[:, :] = x
+                # keep the carry shape fixed at (ROWS, 192)
+                return jnp.concatenate([y, y[:, :64]], axis=1)
+            x = jax.lax.fori_loop(0, iters, body, x_ref[:, :])
+            o_ref[:, :] = x[:, :128]
         return kernel
 
     def run_mm(name, w, k):
