@@ -236,24 +236,35 @@ def main():
     exact_rate = n_gen / dt_pallas
 
     # short-critical-path mode (headline): precomputed weight products
-    # halve the dependent matmuls per sample (ar_sampler.py docstring);
-    # fp-reassociated, so greedy agreement with the exact kernel is
-    # verified below rather than assumed
+    # leave one dependent matmul per layer, single-pass MXU precision,
+    # and packed-tanh gating (ar_sampler.py docstring) — fp-shifted, so
+    # greedy agreement with the exact kernel is verified on a
+    # SHARPENED-head model (x10 head2): an untrained random-weight
+    # model at temperature 0 has near-uniform logits whose argmax flips
+    # under any fp change and then diverges chaotically, which measures
+    # tie-breaking, not correctness (tests/test_pallas_sampler.py uses
+    # the same construction)
     dt_fast = timed(lambda: pallas_generate(
         model, variables, prompt, n_total, temperature=0.0, fast=True))
     fast_rate = n_gen / dt_fast
+    sharp = {"params": dict(
+        variables["params"],
+        head2=dict(variables["params"]["head2"],
+                   kernel=jnp.asarray(
+                       variables["params"]["head2"]["kernel"]) * 10.0))}
     fast_agree = float((np.asarray(pallas_generate(
-        model, variables, prompt, n_total, temperature=0.0, fast=True))
+        model, sharp, prompt, n_total, temperature=0.0, fast=True))
         == np.asarray(pallas_generate(
-            model, variables, prompt, n_total,
+            model, sharp, prompt, n_total,
             temperature=0.0))).mean())
 
-    # --- batched kernel: aggregate chip throughput at B=8 ------------------
+    # --- batched kernel: aggregate chip throughput at B=8 (fast mode,
+    # like the generate CLI default) ----------------------------------------
     prompt8 = jnp.asarray(
         np.random.default_rng(1).integers(0, 256, size=(8, rf)),
         jnp.int32)
     dt_b8 = timed(lambda: pallas_generate(
-        model, variables, prompt8, n_total, temperature=0.0))
+        model, variables, prompt8, n_total, temperature=0.0, fast=True))
     b8_rate = 8 * n_gen / dt_b8
 
     # --- batched kernel at B=16 ---------------------------------------------
@@ -261,7 +272,8 @@ def main():
         np.random.default_rng(2).integers(0, 256, size=(16, rf)),
         jnp.int32)
     dt_b16 = timed(lambda: pallas_generate(
-        model, variables, prompt16, n_total, temperature=0.0))
+        model, variables, prompt16, n_total, temperature=0.0,
+        fast=True))
     b16_rate = 16 * n_gen / dt_b16
 
     # --- lax.scan cached sampler (general path: any batch, video) ----------

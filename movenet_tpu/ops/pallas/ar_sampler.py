@@ -120,17 +120,32 @@ def stack_fast_weights(model: WaveNet, sp: dict) -> dict:
     fg_0 = onehot_cur @ (E_cur W_cur_0)          (the only dependent op)
          + onehot_prev @ (E_past W_cur_0) + [past_0 | ctx] @ rest + b_0.
 
+    Packed-tanh gating rescaling (fast mode only): every matrix whose
+    output is an fg gets its gate-half COLUMNS scaled by 0.5 (fc0, fp0,
+    w_p0c, w_fg, w_prod, final b_fg), and every matrix consuming
+    `gated` gets its ROWS scaled by 0.5 (w_prod, w_out).  The kernel
+    then computes the gate as v = tanh(fg'); gated' = v0*v1 + v0
+    = 2*tanh(f)*sigmoid(g) — ONE transcendental on the critical chain
+    instead of tanh + sigmoid (measured -0.36 us/step on v5e), with the
+    factor 2 absorbed by the row scaling.
+
     Returns:
-      w_prod: (L, R, 2R) = W_res_l @ W_cur_{l+1} (last layer zero);
-      fc0/fp0: (C, 2R) folded front-embedding products;
-      w_p0c: (R or 2R, 2R) = [W_past_0 (; W_ctx_0)];
+      w_prod: (L, R, 2R) = 0.5 * W_res_l @ W_cur_{l+1} * colscale
+              (last layer zero);
+      fc0/fp0: (C, 2R) folded front-embedding products (col-scaled);
+      w_p0c: (R or 2R, 2R) = [W_past_0 (; W_ctx_0)] (col-scaled);
+      w_fg_s / w_out_s: per-layer taps with the fast-mode scaling
+              applied (replace sp["w_fg"] / sp["w_out"] in the kernel);
       b_corr: (L, 2R) additive bias correction, b_res_{l-1} @ W_cur_l
              (zero for layer 0) — added onto the final per-(layer,
-             batch) fg bias rows (after global-conditioning shifts).
+             batch) fg bias rows (after global-conditioning shifts;
+             the caller applies the gate-half 0.5 to the final bias).
     """
     r = model.residual_channels
     n_layers = len(model.dilations)
     w_fg, w_out, b_out = sp["w_fg"], sp["w_out"], sp["b_out"]
+    colscale = jnp.concatenate([jnp.ones((r,), jnp.float32),
+                                jnp.full((r,), 0.5, jnp.float32)])
     prods, b_corr = [], [jnp.zeros((2 * r,), jnp.float32)]
     for l in range(n_layers):
         if l + 1 < n_layers:
@@ -143,11 +158,16 @@ def stack_fast_weights(model: WaveNet, sp: dict) -> dict:
             prods.append(jnp.zeros((r, 2 * r), jnp.float32))
     w_cur_0 = w_fg[0][:r]
     return {
-        "w_prod": jnp.stack(prods),
-        "fc0": jnp.dot(sp["front_cur"], w_cur_0, precision=_HI),
-        "fp0": jnp.dot(sp["front_past"], w_cur_0, precision=_HI),
-        "w_p0c": w_fg[0][r:],   # [W_past_0 (; W_ctx_0)]
+        "w_prod": jnp.stack(prods) * 0.5 * colscale,
+        "fc0": jnp.dot(sp["front_cur"], w_cur_0, precision=_HI)
+        * colscale,
+        "fp0": jnp.dot(sp["front_past"], w_cur_0, precision=_HI)
+        * colscale,
+        "w_p0c": w_fg[0][r:] * colscale,  # [W_past_0 (; W_ctx_0)]
+        "w_fg_s": w_fg * colscale,
+        "w_out_s": w_out * 0.5,
         "b_corr": jnp.stack(b_corr),
+        "colscale": colscale,
     }
 
 
@@ -158,6 +178,13 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
     offsets = np.concatenate([[0], np.cumsum(dilations)[:-1]]).tolist()
     n_layers = len(dilations)
     group = _LANES // batch  # timesteps packed per int32 row
+    # fast mode trades bit-exactness for latency everywhere: default
+    # (single-pass) MXU precision instead of HIGHEST — the 6-pass f32
+    # algorithm costs ~40 ns extra latency PER dependent hop, ~1.2 us
+    # over the 30-layer chain (measured, scripts/exp_sampler_variants)
+    dot = (functools.partial(jnp.dot,
+                             preferred_element_type=jnp.float32)
+           if fast else _dot)
 
     def kernel(seed_ref,                      # SMEM (1,) int32
                init_codes_ref,                # VMEM (2, B) int32
@@ -186,15 +213,21 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
         eye_b = jnp.eye(batch, dtype=jnp.float32)
 
+        # mu-law codes are < 256 = exactly representable in bf16, so the
+        # packing pivots are exact even at single-pass MXU precision
+        pivot_prec = None if fast else _HI
+
         def col_to_row(col_f):   # (B,1) f32 -> (1,B) f32, via MXU
             return jax.lax.dot_general(
                 col_f, eye_b, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                preferred_element_type=jnp.float32,
+                precision=pivot_prec)
 
         def row_to_col(row_f):   # (1,B) f32 -> (B,1) f32
             return jax.lax.dot_general(
                 eye_b, row_f, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI)
+                preferred_element_type=jnp.float32,
+                precision=pivot_prec)
 
         def ctx_dma(chunk_idx, slot):
             rows = _CTX_CHUNK * batch
@@ -251,7 +284,7 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                 past = buf_ref[pl.ds(slot_of(l), batch), :]  # (B, R)
                 hp = jnp.concatenate(
                     [h_in, past] + ([ctx_t] if has_ctx else []), axis=1)
-                return _dot(hp, w_fg_ref[l]) \
+                return dot(hp, w_fg_ref[l]) \
                     + b_fg_ref[pl.ds(l * batch, batch), :]
 
             if fast:
@@ -260,31 +293,33 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                 # (gating -> w_prod matmul); everything else (front
                 # embedding, layer outputs, the next layer's `pre`)
                 # depends only on one-layer-old values and overlaps in
-                # the MXU pipeline
+                # the MXU pipeline.  Weights carry the packed-tanh
+                # scaling: fg = [f | g/2] and gated' = 2*gated, so the
+                # gate costs ONE tanh + one fma on the chain.
                 past0 = buf_ref[pl.ds(slot_of(0), batch), :]
                 p0c = jnp.concatenate(
                     [past0] + ([ctx_t] if has_ctx else []), axis=1)
-                fg = _dot(code_oh, fc0_ref[:, :]) \
-                    + (_dot(prev_oh, fp0_ref[:, :])
-                       + _dot(p0c, w_p0c_ref[:, :])
+                fg = dot(code_oh, fc0_ref[:, :]) \
+                    + (dot(prev_oh, fp0_ref[:, :])
+                       + dot(p0c, w_p0c_ref[:, :])
                        + b_fg_ref[pl.ds(0, batch), :])
-                h = _dot(code_oh, front_cur_ref[:, :]) \
-                    + _dot(prev_oh, front_past_ref[:, :])
+                h = dot(code_oh, front_cur_ref[:, :]) \
+                    + dot(prev_oh, front_past_ref[:, :])
                 for l in range(n_layers):
                     slot_l = slot_of(l)
-                    gated = jnp.tanh(fg[:, :r]) \
-                        * jax.nn.sigmoid(fg[:, r:])
+                    v = jnp.tanh(fg)
+                    gated = v[:, :r] * v[:, r:] + v[:, :r]
                     bo = b_out_ref[pl.ds(l, 1), :]
                     if l + 1 < n_layers:
-                        fgp = _dot(gated, w_prod_ref[l])   # critical
+                        fgp = dot(gated, w_prod_ref[l])    # critical
                         pre = fg_of(l + 1, h)              # off-path
-                        out = _dot(gated, w_out_ref[l]) + bo
+                        out = dot(gated, w_out_ref[l]) + bo
                         buf_ref[pl.ds(slot_l, batch), :] = h
                         skip_sum = skip_sum + out[:, r:]
                         h = out[:, :r] + h
                         fg = fgp + pre
                     else:
-                        out = _dot(gated, w_out_ref[l]) + bo
+                        out = dot(gated, w_out_ref[l]) + bo
                         buf_ref[pl.ds(slot_l, batch), :] = h
                         skip_sum = skip_sum + out[:, r:]
             else:
@@ -299,9 +334,9 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                     buf_ref[pl.ds(slot_l, batch), :] = h
                     h = out[:, :r] + h
 
-            y = _dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :]) \
+            y = dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :]) \
                 + h1_b_ref[pl.ds(0, 1), :]
-            logits = _dot(jax.nn.leaky_relu(y), h2_w_ref[:, :]) \
+            logits = dot(jax.nn.leaky_relu(y), h2_w_ref[:, :]) \
                 + h2_b_ref[pl.ds(0, 1), :]                   # (B, C)
 
             if temperature == 0.0:
@@ -372,11 +407,18 @@ def pallas_generate(
     kernel.  Supports batch in {1, 2, 4, 8} and optional video
     conditioning (context streamed from HBM).
 
-    ``fast=True`` shortens the per-sample dependency chain to one
-    matmul per layer via precomputed weight products
-    (stack_fast_weights).  The reassociated fp math is not bit-equal to
-    the default path — outputs agree to fp tolerance, so greedy samples
-    can differ at near-ties; keep the default for bit-exactness tests.
+    ``fast=True`` trades bit-exactness for latency three ways
+    (measured on v5e, scripts/exp_sampler_variants.py):
+      * precomputed weight products leave ONE dependent matmul per
+        layer on the sample chain (stack_fast_weights);
+      * single-pass MXU precision instead of HIGHEST (the 6-pass f32
+        algorithm costs ~1 us over the 30-layer flagship chain);
+      * packed-tanh gating: one tanh + one fma per layer instead of
+        tanh + sigmoid (the 0.5/2x factors live in the weights).
+    Together: 10.5 -> ~6.5 us/step on the flagship config.  Outputs
+    carry ~bf16 matmul precision — fine for trained models (logit
+    margins dwarf 1e-2) and for temperature sampling; use the default
+    exact kernel for bit-exactness against the scan sampler.
     """
     rf = model.receptive_fields
     if n_samples <= rf:
@@ -432,7 +474,9 @@ def pallas_generate(
     fw = None
     if fast:
         fw = stack_fast_weights(model, sp)
-        b_fg = b_fg + fw["b_corr"][:, None, :]
+        b_fg = (b_fg + fw["b_corr"][:, None, :]) * fw["colscale"]
+        sp["w_fg"] = fw["w_fg_s"]    # packed-tanh gate scaling
+        sp["w_out"] = fw["w_out_s"]
     sp["b_fg"] = b_fg.reshape(-1, b_fg.shape[-1])        # (L*B, 2R)
 
     # ---- warm start: parallel prompt pass fills the ring buffers and
