@@ -26,6 +26,46 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def load_checkpoint_model(checkpoint_dir: Path, batch_size: int = 1):
+    """Restore (model, config, variables) from an orbax run directory.
+
+    The init template must mirror the TRAINING configuration — a
+    checkpoint from a video-conditioned run carries video_encoder params
+    even if the caller generates unconditioned — so the template batch
+    is built from the run's config.json snapshot.
+    """
+    import jax
+
+    from movenet_tpu.config import TrainingConfig
+    from movenet_tpu.models.wavenet import make_wavenet
+    from movenet_tpu.train import (
+        create_train_state, make_optimizer, restore_checkpoint)
+    from movenet_tpu.train.loop import Batch
+
+    checkpoint_dir = Path(checkpoint_dir)
+    config = TrainingConfig.load(checkpoint_dir / "config.json")
+    mc = config.model_config
+    model = make_wavenet(mc)
+    rf = model.receptive_fields
+    tmpl_video = None
+    if config.use_video:
+        tmpl_video = np.zeros(
+            (batch_size, mc.max_video_frames, 64, 64, 1), np.float32)
+    tmpl_labels = None
+    if mc.global_classes and mc.global_classes > 0:
+        tmpl_labels = np.zeros((batch_size,), np.int32)
+    tmpl_t = mc.max_audio_frames if tmpl_video is not None else rf + 1
+    state = create_train_state(
+        model, config, make_optimizer(config, steps_per_epoch=1),
+        jax.random.PRNGKey(0),
+        Batch(codes=np.zeros((batch_size, tmpl_t), np.int32),
+              video=tmpl_video, labels=tmpl_labels))
+    state = restore_checkpoint(checkpoint_dir, state)
+    logger.info("restored step-%d params from %s", int(state.step),
+                checkpoint_dir)
+    return model, config, {"params": state.params}, int(state.step)
+
+
 def generate_from_checkpoint(
     checkpoint_dir: Path,
     dataset_fp: str = None,
@@ -41,21 +81,16 @@ def generate_from_checkpoint(
     import jax
     import jax.numpy as jnp
 
-    from movenet_tpu.config import TrainingConfig
     from movenet_tpu.models.sampler import fast_generate
-    from movenet_tpu.models.wavenet import make_wavenet
     from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
-    from movenet_tpu.train import (
-        create_train_state, make_optimizer, restore_checkpoint)
-    from movenet_tpu.train.loop import Batch
     from movenet_tpu.utils.samples import export_samples
 
     checkpoint_dir = Path(checkpoint_dir)
-    config = TrainingConfig.load(checkpoint_dir / "config.json")
+    model, config, variables, step = load_checkpoint_model(
+        checkpoint_dir, batch_size)
     mc = config.model_config
     if use_video is None:
         use_video = config.use_video
-    model = make_wavenet(mc)
     rf = model.receptive_fields
     n = int(n_samples or config.generate_n_samples or mc.max_audio_frames)
     if n <= rf:
@@ -87,29 +122,6 @@ def generate_from_checkpoint(
             mu_law_encode(jnp.zeros(1), mc.input_channels)[0]))
         prompt = jnp.full((batch_size, rf), silent_code, jnp.int32)
 
-    # restore params (optimizer state comes along; only params matter).
-    # The template must mirror the TRAINING configuration — a checkpoint
-    # from a video-conditioned run carries video_encoder params even if
-    # this generation is unconditioned — so build the init batch from
-    # the run config, not from what this invocation happens to use.
-    tmpl_video = None
-    if config.use_video:
-        tmpl_video = np.zeros(
-            (batch_size, mc.max_video_frames, 64, 64, 1), np.float32)
-    tmpl_labels = None
-    if mc.global_classes and mc.global_classes > 0:
-        tmpl_labels = np.zeros((batch_size,), np.int32)
-    tmpl_t = mc.max_audio_frames if tmpl_video is not None else rf + 1
-    state = create_train_state(
-        model, config, make_optimizer(config, steps_per_epoch=1),
-        jax.random.PRNGKey(0),
-        Batch(codes=np.zeros((batch_size, tmpl_t), np.int32),
-              video=tmpl_video, labels=tmpl_labels))
-    state = restore_checkpoint(checkpoint_dir, state)
-    variables = {"params": state.params}
-    logger.info("restored step-%d params from %s", int(state.step),
-                checkpoint_dir)
-
     t0 = time.perf_counter()
     # the Pallas kernel needs a real TPU (no CPU lowering outside
     # interpret mode); everywhere else the scan sampler is the fast path
@@ -136,7 +148,7 @@ def generate_from_checkpoint(
                 "(%.0f samples/sec incl compile)", dt, n_new / dt)
 
     model_rate = max(1, int(16_000 * mc.max_audio_frames / 160_000))
-    written = export_samples(out_dir, int(state.step), "generate",
+    written = export_samples(out_dir, step, "generate",
                              {"generated": codes, "prompt": codes[:, :rf]},
                              mc.input_channels, model_rate=model_rate)
     return written

@@ -1,0 +1,291 @@
+"""Persistent generation server: checkpoint -> TCP JSON-line API.
+
+The reference repo has no serving story at all (generation only runs
+inside a training loop, reference trainer.py:369-384); the standalone
+CLI (movenet_tpu.generate) pays model restore + sampler compile on
+every invocation.  This server loads the checkpoint ONCE, keeps the
+compiled samplers warm, and answers generation requests over a socket
+— the deployment surface for the >100k samples/s/chip sampler.
+
+Protocol (one JSON object per line, newline-terminated, UTF-8):
+
+  request:  {"id": any, "n_samples": int, "temperature": float,
+             "prompt": [[codes...] per stream] | null,
+             "seed": int, "format": "codes" | "wav"}
+  response: {"id": any, "ms": float, "samples_per_sec": float,
+             "codes": [[...]]}            (format == "codes")
+            {"id": ..., "wav_b64": [...]} (format == "wav": 16 kHz
+                                           mono PCM16 WAV per stream)
+  errors:   {"id": any, "error": "..."}
+  health:   {"op": "ping"} -> {"ok": true, "model": {...}}
+
+Requests are served strictly in order off a queue (the chip is a
+serial resource; concurrency belongs in the batch dimension — send
+multi-stream prompts).  A missing prompt seeds with RF frames of
+mu-law silence.
+
+Server:  python -m movenet_tpu.serve --checkpoint <run_dir> --port 7631
+Client:  python -m movenet_tpu.serve --connect localhost:7631 \
+             --n_samples 20000 --temperature 1.0 --out clip.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import logging
+import socket
+import socketserver
+import threading
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class GenerationService:
+    """Checkpoint + warm samplers behind a lock (one chip, one queue)."""
+
+    def __init__(self, checkpoint_dir: Path, parity_sampling: bool = True,
+                 fast: bool = True, prefer_pallas: Optional[bool] = None):
+        import jax
+
+        from movenet_tpu.generate import load_checkpoint_model
+        from movenet_tpu.ops import mu_law_encode
+
+        self.model, self.config, self.variables, self.step = \
+            load_checkpoint_model(Path(checkpoint_dir))
+        self.mc = self.config.model_config
+        self.rf = self.model.receptive_fields
+        self.parity_sampling = parity_sampling
+        self.fast = fast
+        if prefer_pallas is None:
+            prefer_pallas = jax.default_backend() == "tpu"
+        self.prefer_pallas = prefer_pallas
+        self.silent_code = int(np.asarray(mu_law_encode(
+            np.zeros(1), self.mc.input_channels))[0])
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ info
+    def info(self) -> dict:
+        mc = self.mc
+        return {
+            "step": self.step,
+            "receptive_fields": self.rf,
+            "input_channels": mc.input_channels,
+            "layer_size": mc.layer_size,
+            "stack_size": mc.stack_size,
+            "max_audio_frames": mc.max_audio_frames,
+            "sampler": "pallas" if self.prefer_pallas else "scan",
+        }
+
+    # -------------------------------------------------------- generate
+    def generate(self, n_samples: int, temperature: float = 1.0,
+                 prompt: Optional[np.ndarray] = None, seed: int = 0
+                 ) -> np.ndarray:
+        """(B, n_samples) int32 mu-law codes (prompt included)."""
+        import jax
+        import jax.numpy as jnp
+
+        from movenet_tpu.models.sampler import fast_generate
+        from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
+
+        if prompt is None:
+            prompt = np.full((1, self.rf), self.silent_code, np.int32)
+        prompt = np.asarray(prompt, np.int32)
+        if prompt.ndim == 1:
+            prompt = prompt[None, :]
+        if prompt.shape[1] < self.rf:  # left-pad with silence
+            pad = np.full((prompt.shape[0], self.rf - prompt.shape[1]),
+                          self.silent_code, np.int32)
+            prompt = np.concatenate([pad, prompt], axis=1)
+        n_samples = int(n_samples)
+        if n_samples <= self.rf:
+            raise ValueError(
+                f"n_samples ({n_samples}) must exceed the receptive "
+                f"field ({self.rf})")
+        b = prompt.shape[0]
+        prompt_j = jnp.asarray(prompt)
+        with self._lock:
+            if self.prefer_pallas and b in (1, 2, 4, 8, 16, 32):
+                codes = pallas_generate(
+                    self.model, self.variables, prompt_j, n_samples,
+                    temperature=float(temperature), seed=int(seed),
+                    parity_sampling=self.parity_sampling, fast=self.fast)
+            else:
+                codes = fast_generate(
+                    self.model, self.variables, prompt_j, n_samples,
+                    temperature=float(temperature),
+                    rng=jax.random.PRNGKey(int(seed)),
+                    parity_sampling=self.parity_sampling)
+            return np.asarray(codes)
+
+    def warmup(self, n: Optional[int] = None) -> float:
+        """Compile the sampler at a canonical size; returns seconds."""
+        t0 = time.perf_counter()
+        self.generate(n or (self.rf + 128), temperature=0.0)
+        return time.perf_counter() - t0
+
+    # ------------------------------------------------------------- wav
+    def to_wav(self, codes: np.ndarray) -> list:
+        """Per-stream 16 kHz PCM16 WAV bytes (base64) from codes."""
+        import wave
+
+        from movenet_tpu.ops import mu_law_decode
+
+        audio = np.asarray(mu_law_decode(codes, self.mc.input_channels))
+        out = []
+        for row in audio:
+            pcm = np.clip(row * 32767.0, -32768, 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16_000)
+                w.writeframes(pcm.tobytes())
+            out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+        return out
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        svc: GenerationService = self.server.service  # type: ignore
+        for raw in self.rfile:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                req = json.loads(raw)
+            except json.JSONDecodeError as e:
+                self._send({"error": f"bad json: {e}"})
+                continue
+            rid = req.get("id")
+            try:
+                if req.get("op") == "ping":
+                    self._send({"id": rid, "ok": True,
+                                "model": svc.info()})
+                    continue
+                t0 = time.perf_counter()
+                codes = svc.generate(
+                    req.get("n_samples", svc.rf + 16_000),
+                    temperature=req.get("temperature", 1.0),
+                    prompt=req.get("prompt"),
+                    seed=req.get("seed", 0))
+                dt = time.perf_counter() - t0
+                generated = codes.shape[1] - svc.rf
+                resp = {"id": rid, "ms": round(dt * 1e3, 3),
+                        "samples_per_sec": round(
+                            generated * codes.shape[0] / dt, 1)}
+                if req.get("format", "codes") == "wav":
+                    resp["wav_b64"] = svc.to_wav(codes)
+                else:
+                    resp["codes"] = codes.tolist()
+                self._send(resp)
+            except Exception as e:  # report, keep serving
+                logger.exception("request failed")
+                self._send({"id": rid, "error": str(e)})
+
+    def _send(self, obj: dict):
+        self.wfile.write((json.dumps(obj) + "\n").encode())
+        self.wfile.flush()
+
+
+class GenerationServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, service: GenerationService):
+        super().__init__(addr, _Handler)
+        self.service = service
+
+
+def serve(checkpoint_dir: Path, host: str = "127.0.0.1",
+          port: int = 7631, warmup: bool = True,
+          parity_sampling: bool = True, fast: bool = True,
+          prefer_pallas: Optional[bool] = None) -> GenerationServer:
+    svc = GenerationService(checkpoint_dir,
+                            parity_sampling=parity_sampling, fast=fast,
+                            prefer_pallas=prefer_pallas)
+    if warmup:
+        dt = svc.warmup()
+        logger.info("sampler warm (compile+first run: %.1fs)", dt)
+    server = GenerationServer((host, port), svc)
+    logger.info("serving %s on %s:%d", svc.info(), host,
+                server.server_address[1])
+    return server
+
+
+def request(host: str, port: int, payload: dict, timeout: float = 600.0
+            ) -> dict:
+    """One-shot client: send a request line, read the response line."""
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        f = s.makefile("rwb")
+        f.write((json.dumps(payload) + "\n").encode())
+        f.flush()
+        line = f.readline()
+    if not line:
+        raise ConnectionError("server closed the connection")
+    return json.loads(line)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s: %(levelname)s: %(message)s")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", type=Path, default=None)
+    ap.add_argument("--host", type=str, default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7631)
+    ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--parity_sampling", type=lambda x: bool(int(x)),
+                    default=True)
+    ap.add_argument("--fast_sampler", type=lambda x: bool(int(x)),
+                    default=True)
+    # client mode
+    ap.add_argument("--connect", type=str, default=None,
+                    help="host:port — run as client instead of server")
+    ap.add_argument("--n_samples", type=int, default=None)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=Path, default=None,
+                    help="client: write the first stream's WAV here")
+    args = ap.parse_args(argv)
+
+    if args.connect:
+        host, _, port = args.connect.partition(":")
+        payload = {"id": 0, "temperature": args.temperature,
+                   "seed": args.seed,
+                   "format": "wav" if args.out else "codes"}
+        if args.n_samples:
+            payload["n_samples"] = args.n_samples
+        resp = request(host, int(port or 7631), payload)
+        if "error" in resp:
+            raise SystemExit(f"server error: {resp['error']}")
+        if args.out:
+            args.out.write_bytes(
+                base64.b64decode(resp["wav_b64"][0]))
+            print(f"{args.out} ({resp['ms']} ms, "
+                  f"{resp['samples_per_sec']} samples/s)")
+        else:
+            print(json.dumps({k: v for k, v in resp.items()
+                              if k != "codes"}))
+        return
+
+    if args.checkpoint is None:
+        raise SystemExit("--checkpoint is required in server mode")
+    server = serve(args.checkpoint, args.host, args.port,
+                   warmup=not args.no_warmup,
+                   parity_sampling=args.parity_sampling,
+                   fast=args.fast_sampler)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

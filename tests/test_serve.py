@@ -1,0 +1,127 @@
+"""Generation server: load a checkpoint once, answer JSON-line
+requests over TCP (movenet_tpu/serve.py).  Runs on CPU with the scan
+sampler (prefer_pallas=False)."""
+
+import base64
+import json
+import threading
+import wave
+import io
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from movenet_tpu.config import MeshConfig, ModelConfig, TrainingConfig
+from movenet_tpu.models.wavenet import make_wavenet
+from movenet_tpu.serve import GenerationService, GenerationServer, request
+from movenet_tpu.train import (
+    create_train_state, make_optimizer, save_checkpoint)
+from movenet_tpu.train.loop import Batch
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    """A tiny trained-for-zero-steps checkpoint + config.json."""
+    root = tmp_path_factory.mktemp("serve_run")
+    mc = ModelConfig(layer_size=3, stack_size=2, input_channels=32,
+                     residual_channels=16, skip_channels=16,
+                     compute_dtype="float32",
+                     max_audio_frames=512, max_video_frames=1)
+    cfg = TrainingConfig(model_config=mc, optimizer="AdamW",
+                         learning_rate=1e-3, scheduler=None,
+                         batch_size=1, use_video=False,
+                         mesh=MeshConfig(data=1, seq=1))
+    model = make_wavenet(mc)
+    state = create_train_state(
+        model, cfg, make_optimizer(cfg, steps_per_epoch=1),
+        jax.random.PRNGKey(0),
+        Batch(codes=np.zeros((1, model.receptive_fields + 1), np.int32),
+              video=None))
+    save_checkpoint(root, 0, state)
+    cfg.save(root / "config.json")
+    return root
+
+
+@pytest.fixture(scope="module")
+def server(run_dir):
+    svc = GenerationService(run_dir, prefer_pallas=False)
+    srv = GenerationServer(("127.0.0.1", 0), svc)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _port(server):
+    return server.server_address[1]
+
+
+def test_ping_reports_model(server):
+    resp = request("127.0.0.1", _port(server), {"op": "ping", "id": 7})
+    assert resp["ok"] and resp["id"] == 7
+    assert resp["model"]["receptive_fields"] == 16  # layer=3 stack=2
+    assert resp["model"]["input_channels"] == 32
+
+
+def test_generate_codes_deterministic(server):
+    svc = server.service
+    n = svc.rf + 40
+    req = {"id": 1, "n_samples": n, "temperature": 0.0,
+           "format": "codes"}
+    r1 = request("127.0.0.1", _port(server), req)
+    r2 = request("127.0.0.1", _port(server), req)
+    assert "error" not in r1, r1
+    codes = np.asarray(r1["codes"])
+    assert codes.shape == (1, n)
+    assert codes.dtype.kind == "i"
+    assert (codes >= 0).all() and (codes < 32).all()
+    np.testing.assert_array_equal(codes, np.asarray(r2["codes"]))
+    assert r1["samples_per_sec"] > 0
+
+
+def test_generate_with_prompt_and_batch(server):
+    svc = server.service
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 32, size=(2, svc.rf)).tolist()
+    n = svc.rf + 16
+    resp = request("127.0.0.1", _port(server),
+                   {"id": 2, "n_samples": n, "temperature": 1.0,
+                    "seed": 3, "prompt": prompt})
+    codes = np.asarray(resp["codes"])
+    assert codes.shape == (2, n)
+    np.testing.assert_array_equal(codes[:, :svc.rf], np.asarray(prompt))
+
+
+def test_short_prompt_left_padded_with_silence(server):
+    svc = server.service
+    resp = request("127.0.0.1", _port(server),
+                   {"id": 5, "n_samples": svc.rf + 8,
+                    "temperature": 0.0, "prompt": [[1, 2, 3]]})
+    codes = np.asarray(resp["codes"])
+    assert codes.shape == (1, svc.rf + 8)
+    assert (codes[0, : svc.rf - 3] == svc.silent_code).all()
+    np.testing.assert_array_equal(codes[0, svc.rf - 3: svc.rf],
+                                  [1, 2, 3])
+
+
+def test_wav_format(server):
+    svc = server.service
+    n = svc.rf + 16
+    resp = request("127.0.0.1", _port(server),
+                   {"id": 3, "n_samples": n, "temperature": 0.0,
+                    "format": "wav"})
+    assert len(resp["wav_b64"]) == 1
+    with wave.open(io.BytesIO(base64.b64decode(resp["wav_b64"][0]))) as w:
+        assert w.getframerate() == 16_000
+        assert w.getnchannels() == 1
+        assert w.getnframes() == n
+
+
+def test_bad_request_keeps_serving(server):
+    bad = request("127.0.0.1", _port(server),
+                  {"id": 4, "n_samples": 1})  # below RF
+    assert "error" in bad
+    ok = request("127.0.0.1", _port(server), {"op": "ping"})
+    assert ok["ok"]
