@@ -92,10 +92,16 @@ def _train_steps_per_sec():
     """Secondary metric (BASELINE.md): train steps/sec on the
     kinetics-breakdancing config (experiments/02: video-conditioned,
     layer=3 stack=3, 64/64 channels, batch 2, full 160k-sample clips),
-    bf16 compute, single chip.  Returns (steps/s, mfu_pct)."""
+    bf16 compute, single chip.  Returns (steps/s, scan8 steps/s,
+    mfu_pct, flops): the first number dispatches one step per call
+    (comparable across rounds; includes ~1 ms/call of tunnel dispatch),
+    the second runs 8 steps per call via lax.scan
+    (train.make_scan_train_step), the deployment pattern that
+    amortizes host dispatch."""
     import jax
+    import jax.numpy as jnp
 
-    from movenet_tpu.train import make_train_step
+    from movenet_tpu.train import make_scan_train_step, make_train_step
 
     model, cfg, state, batch = _breakdancing_setup()
     step = jax.jit(make_train_step(model, cfg))
@@ -109,7 +115,20 @@ def _train_steps_per_sec():
     dt = (time.perf_counter() - t0) / reps
     flops = _train_step_model_flops(cfg.model_config, 2, 160_000)
     mfu = flops / dt / (V5E_PEAK_TFLOPS * 1e12) * 100
-    return 1.0 / dt, mfu, flops
+
+    # scan-of-8: one dispatch per 8 optimizer steps
+    n_scan = 8
+    scan_step = jax.jit(make_scan_train_step(model, cfg, n_scan))
+    batches8 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_scan,) + x.shape), batch)
+    state, m = scan_step(state, batches8)
+    np.asarray(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(reps // 4):
+        state, m = scan_step(state, batches8)
+    np.asarray(m["loss"])
+    dt8 = (time.perf_counter() - t0) / (reps // 4) / n_scan
+    return 1.0 / dt, 1.0 / dt8, mfu, flops
 
 
 def _check_on_hardware():
@@ -252,11 +271,18 @@ def main():
         head2=dict(variables["params"]["head2"],
                    kernel=jnp.asarray(
                        variables["params"]["head2"]["kernel"]) * 10.0))}
-    fast_agree = float((np.asarray(pallas_generate(
-        model, sharp, prompt, n_total, temperature=0.0, fast=True))
-        == np.asarray(pallas_generate(
-            model, sharp, prompt, n_total,
-            temperature=0.0))).mean())
+    n_agree = 512  # one flipped near-tie diverges the whole suffix, so
+    # a LONG-horizon fraction on random weights measures chaos, not
+    # correctness; 512 steps with margin is the regime the CPU
+    # equivalence test pins (the verify drive additionally shows
+    # identical continuation MAE on a TRAINED model for all samplers)
+    a = np.asarray(pallas_generate(
+        model, sharp, prompt, rf + n_agree, temperature=0.0, fast=True))
+    b = np.asarray(pallas_generate(
+        model, sharp, prompt, rf + n_agree, temperature=0.0))
+    fast_agree = float((a == b).mean())
+    fast_first_div = (int(np.argmax(a[0] != b[0])) - rf
+                      if (a != b).any() else n_agree)
 
     # --- batched kernel: aggregate chip throughput at B=8 (fast mode,
     # like the generate CLI default) ----------------------------------------
@@ -294,7 +320,8 @@ def main():
                    help="skip the on-hardware correctness gate")
     args, _ = p.parse_known_args()
 
-    steps_per_sec, mfu, train_flops = _train_steps_per_sec()
+    steps_per_sec, steps_per_sec_scan8, mfu, train_flops = \
+        _train_steps_per_sec()
     check = {"skipped": True} if args.skip_check else \
         _check_on_hardware()
 
@@ -311,12 +338,14 @@ def main():
         "vs_naive_same_chip": round(fast_rate / naive_rate, 2),
         "naive_same_chip_samples_per_sec": round(naive_rate, 2),
         "exact_kernel_samples_per_sec": round(exact_rate, 2),
-        "fast_vs_exact_greedy_agreement": round(fast_agree, 6),
+        "fast_vs_exact_greedy_agreement_512": round(fast_agree, 6),
+        "fast_vs_exact_first_divergence_step": fast_first_div,
         "scan_sampler_samples_per_sec": round(scan_rate, 2),
         "batched8_agg_samples_per_sec": round(b8_rate, 2),
         "batched16_agg_samples_per_sec": round(b16_rate, 2),
         "sampler_us_per_step_b1": round(us_per_step, 3),
         "train_steps_per_sec_breakdancing": round(steps_per_sec, 3),
+        "train_steps_per_sec_scan8": round(steps_per_sec_scan8, 3),
         "train_mfu_pct": round(mfu, 2),
         "train_model_gflops_per_step": round(train_flops / 1e9, 1),
         "roofline_peaks": {"bf16_tflops": V5E_PEAK_TFLOPS,

@@ -43,32 +43,44 @@ def _dleaky(x):
 
 
 def _core(skip, tgt_col, w1, b1, w2, b2, c: int, parity: bool):
-    """Shared per-tile forward: returns (y_pre, z, p_or_none, onehot)."""
+    """Shared per-tile forward: (y_pre, z, p_or_none, onehot, zmax).
+
+    The softmax is manual so its row max can be shared with
+    _match_rows (jax.nn.softmax would compute its own)."""
     act = _leaky(skip)
     y = _dot(act, w1) + b1
     z = _dot(_leaky(y), w2) + b2                      # (tile, C)
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     onehot = (col == tgt_col).astype(jnp.float32)
-    p = jax.nn.softmax(z, axis=-1) if parity else None
-    return y, z, p, onehot
-
-
-def _nll_rows(z, p, onehot, parity: bool):
+    zmax = jnp.max(z, axis=-1, keepdims=True)
+    p = None
     if parity:
-        lse = jax.nn.logsumexp(p, axis=-1, keepdims=True)
+        e = jnp.exp(z - zmax)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+    return y, z, p, onehot, zmax
+
+
+def _nll_rows(z, p, onehot, parity: bool, zmax=None):
+    if parity:
+        # p in [0, 1] so exp(p) <= e: the max-subtraction stabilizer
+        # is unnecessary — one exp + sum + log per row
+        lse = jnp.log(jnp.sum(jnp.exp(p), axis=-1, keepdims=True))
         picked = jnp.sum(p * onehot, axis=-1, keepdims=True)
     else:
-        lse = jax.nn.logsumexp(z, axis=-1, keepdims=True)
+        zm = zmax if zmax is not None \
+            else jnp.max(z, axis=-1, keepdims=True)
+        lse = jnp.log(jnp.sum(jnp.exp(z - zm), axis=-1,
+                              keepdims=True)) + zm
         picked = jnp.sum(z * onehot, axis=-1, keepdims=True)
     return lse - picked                                # (tile, 1)
 
 
-def _match_rows(z, tgt_col):
+def _match_rows(z, tgt_col, zmax=None):
     # first-max index == target (matches jnp.argmax semantics):
     # target holds the max AND no earlier column ties it.  Formulated
     # as cross-lane float sums — the int-min reduction Mosaic emits for
     # the where/min formulation costs ~1 ms/step on v5e.
-    m = jnp.max(z, axis=-1, keepdims=True)
+    m = zmax if zmax is not None else jnp.max(z, axis=-1, keepdims=True)
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     is_max = (z == m).astype(jnp.float32)
     onehot = (col == tgt_col).astype(jnp.float32)
@@ -96,11 +108,11 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
         tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
                           axis=1, keepdims=True)        # (tile, 1)
-        _, z, p, onehot = _core(skip, tgt_col, w1_ref[:, :],
-                                b1_ref[pl.ds(0, 1), :], w2_ref[:, :],
-                                b2_ref[pl.ds(0, 1), :], c, parity)
-        nll = _nll_rows(z, p, onehot, parity)
-        match = _match_rows(z, tgt_col)
+        _, z, p, onehot, zmax = _core(
+            skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
+            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
+        nll = _nll_rows(z, p, onehot, parity, zmax)
+        match = _match_rows(z, tgt_col, zmax)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
         valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
@@ -138,9 +150,9 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
         tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
                           axis=1, keepdims=True)
-        y, z, p, onehot = _core(skip, tgt_col, w1_ref[:, :],
-                                b1_ref[pl.ds(0, 1), :], w2_ref[:, :],
-                                b2_ref[pl.ds(0, 1), :], c, parity)
+        y, z, p, onehot, _zmax = _core(
+            skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
+            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
         valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
@@ -148,7 +160,8 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         scale = dloss_ref[0] * valid                    # (tile, 1)
 
         if parity:
-            q = jax.nn.softmax(p, axis=-1)
+            ep = jnp.exp(p)              # p in [0,1]: no stabilizer
+            q = ep / jnp.sum(ep, axis=-1, keepdims=True)
             g = q - onehot
             dz = p * g - p * jnp.sum(p * g, axis=-1, keepdims=True)
         else:
@@ -180,7 +193,7 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
                 parity: bool, interpret: bool):
     batch, t_total, s = skip_sum.shape
     c = w2.shape[1]
-    tile = _pick_tile(t_total, 1, cap=2000)
+    tile = _pick_tile(t_total, 1, cap=4000)  # fwd holds few live tensors
     n_tiles = t_total // tile
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)

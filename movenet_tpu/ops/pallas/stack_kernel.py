@@ -391,11 +391,11 @@ def _fwd_kernel_head(dilations, r: int, s: int, has_ctx: bool,
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
         tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
                           axis=1, keepdims=True)
-        _, z, p, onehot = _core(sk, tgt_col, w1_ref[:, :],
-                                b1_ref[pl.ds(0, 1), :], w2_ref[:, :],
-                                b2_ref[pl.ds(0, 1), :], c, parity)
-        nll = _nll_rows(z, p, onehot, parity)
-        match = _match_rows(z, tgt_col)
+        _, z, p, onehot, zmax = _core(
+            sk, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
+            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
+        nll = _nll_rows(z, p, onehot, parity, zmax)
+        match = _match_rows(z, tgt_col, zmax)
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
         valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
             jnp.float32)
@@ -532,15 +532,16 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
         tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
                           axis=1, keepdims=True)
-        y, z, p, onehot = _core(skip, tgt_col, w1_ref[:, :],
-                                b1_ref[pl.ds(0, 1), :], w2_ref[:, :],
-                                b2_ref[pl.ds(0, 1), :], c, parity)
+        y, z, p, onehot, _zmax = _core(
+            skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
+            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
         rowt = row + t0
         valid = ((rowt >= rf - 1) & (rowt < t_total - 1)).astype(
             jnp.float32)
         scale = dloss_ref[0] * valid
         if parity:
-            q = jax.nn.softmax(p, axis=-1)
+            ep = jnp.exp(p)              # p in [0,1]: no stabilizer
+            q = ep / jnp.sum(ep, axis=-1, keepdims=True)
             g = q - onehot
             dz = p * g - p * jnp.sum(p * g, axis=-1, keepdims=True)
         else:

@@ -13,6 +13,7 @@ from movenet_tpu.train.loop import (
     TrainState,
     create_train_state,
     make_train_step,
+    make_scan_train_step,
     make_eval_step,
 )
 from movenet_tpu.train.checkpoint import (
@@ -31,6 +32,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_scan_train_step",
     "make_eval_step",
     "CheckpointManager",
     "save_checkpoint",

@@ -195,6 +195,28 @@ def make_train_step(model: WaveNet, config):
     return train_step
 
 
+def make_scan_train_step(model: WaveNet, config, n_steps: int):
+    """Run ``n_steps`` optimizer steps in ONE jitted call via lax.scan.
+
+    Dispatch through a remote/tunneled PJRT backend costs ~1 ms per
+    call; scanning N steps inside one executable amortizes it N-fold
+    (the standard TPU pattern for host-dispatch-bound loops).  The
+    returned function takes batches stacked on a leading (N, ...) axis
+    and returns the LAST step's metrics (per-step logging granularity
+    is traded away — pair with a matching metric cadence).
+    """
+    step = make_train_step(model, config)
+
+    def multi_step(state: TrainState, batches: Batch):
+        def body(s, b):
+            s, m = step(s, b)
+            return s, m
+        state, ms = jax.lax.scan(body, state, batches, length=n_steps)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return multi_step
+
+
 def make_eval_step(model: WaveNet, config):
     parity = config.model_config.parity_softmax_output
     loss_fn = _loss_and_metrics(model, parity, fused=_use_fused(config))
