@@ -75,3 +75,42 @@ def test_fused_head_loss_grads(parity):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=1e-6,
             err_msg=f"grad mismatch: {name} (parity={parity})")
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_fused_head_loss_packed_path(parity, monkeypatch):
+    """The two-positions-per-row packed kernels (default OFF —
+    measured slower once segment sums are exact; see
+    head_loss.PACKED_HEAD) must still match the XLA reference in
+    values and all grads."""
+    import movenet_tpu.ops.pallas.head_loss as hl
+
+    monkeypatch.setattr(hl, "PACKED_HEAD", True)
+    rng = np.random.default_rng(2)
+    skip, codes, tgt_tb, w1, b1, w2, b2 = _make(rng, b=2, t=512,
+                                                s=64, c=64)
+    assert hl._use_packed(512, 64, 64)
+    rf = 24
+    loss, match = fused_head_loss(skip, tgt_tb, w1, b1, w2, b2, rf,
+                                  parity, True)
+    want_l, want_m = _reference(skip, codes, w1, b1, w2, b2, rf, parity)
+    np.testing.assert_allclose(float(loss), float(want_l), rtol=2e-5)
+    assert float(match) == float(want_m)
+
+    n_valid = skip.shape[0] * (skip.shape[1] - rf)
+
+    def loss_f(skip, w1, b1, w2, b2):
+        l, _ = fused_head_loss(skip, tgt_tb, w1, b1, w2, b2, rf,
+                               parity, True)
+        return l / n_valid
+
+    def loss_r(skip, w1, b1, w2, b2):
+        l, _ = _reference(skip, codes, w1, b1, w2, b2, rf, parity)
+        return l / n_valid
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3, 4))(skip, w1, b1, w2, b2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(skip, w1, b1, w2, b2)
+    for a, b_, name in zip(gf, gr, ["skip", "w1", "b1", "w2", "b2"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=1e-6,
+            err_msg=f"packed grad mismatch: {name} (parity={parity})")
