@@ -25,6 +25,7 @@ import queue
 import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -66,6 +67,7 @@ class DataLoader:
         max_video_frames: int = MAX_VIDEO_FRAMES,
         prefetch_batches: int = 2,
         context_to_id=None,
+        native_pipeline: str = "auto",
     ):
         if len(index) == 0:
             raise ValueError(f"empty dataset index under {index.root}")
@@ -88,6 +90,29 @@ class DataLoader:
         self.context_to_id = (context_to_id if context_to_id is not None
                               else index.context_to_id)
         self._warned_contexts: set = set()
+        if native_pipeline not in ("auto", "on", "off"):
+            raise ValueError(
+                f"native_pipeline must be auto|on|off, "
+                f"got {native_pipeline!r}")
+        self.native_pipeline = native_pipeline
+
+    def _native_pipe_usable(self) -> bool:
+        """The C++ decode->preprocess pipeline handles media containers
+        (ffmpeg), not packed .npz clips; use it only when built AND
+        every entry is a media file."""
+        if self.native_pipeline == "off":
+            return False
+        from movenet_tpu.data.video import _have_ffmpeg
+        from movenet_tpu.native.loader import pipeline_available
+
+        ok = pipeline_available() and _have_ffmpeg() and all(
+            Path(m.filepath).suffix.lower() != ".npz"
+            for m in self.index.entries)
+        if self.native_pipeline == "on" and not ok:
+            raise RuntimeError(
+                "native_pipeline='on' but the native pipeline is not "
+                "usable (library not built, no ffmpeg, or .npz inputs)")
+        return ok
 
     # ------------------------------------------------------------- sizes
     @property
@@ -185,6 +210,58 @@ class DataLoader:
                     continue
             return False
 
+        def native_producer():
+            """decode->preprocess->assemble via the C++ worker pool
+            (native/pipeline.cpp): one blocking ctypes call per clip,
+            bounded in-flight work, outputs bit-identical to the
+            Python path."""
+            from movenet_tpu.native.loader import NativePipeline
+
+            pipe = NativePipeline(
+                self.num_workers, self.max_video_frames, (64, 64),
+                self.max_audio_frames, self.input_channels,
+                self.normalize_audio, self.use_video)
+            try:
+                entries = list(idx.entries)
+                in_flight = 0
+                pos = 0
+                group: List[Example] = []
+                while pos < len(entries) or in_flight > 0:
+                    while in_flight < self.num_workers * 2 and \
+                            pos < len(entries):
+                        pipe.submit(entries[pos].filepath)
+                        pos += 1
+                        in_flight += 1
+                    if stop.is_set():
+                        return
+                    meta_i = pos - in_flight
+                    out = pipe.next()
+                    in_flight -= 1
+                    if out is None:
+                        continue  # substitute: next clip fills the slot
+                    codes, video = out
+                    meta = entries[meta_i]
+                    label = self.context_to_id.get(meta.context)
+                    if label is None:
+                        if meta.context not in self._warned_contexts:
+                            self._warned_contexts.add(meta.context)
+                            logger.warning(
+                                "context %r missing from the class-id "
+                                "mapping; conditioning on class 0",
+                                meta.context)
+                        label = 0
+                    group.append(Example(meta.context, meta.filepath,
+                                         codes, video, {}, label=label))
+                    if len(group) == self.examples_per_step:
+                        if not put(self._assemble(group, rng)):
+                            return
+                        group = []
+            except Exception as e:  # surface errors on the consumer side
+                put(e)
+            finally:
+                pipe.close()
+                put(None)
+
         def producer():
             try:
                 # bounded in-flight decode: the output queue only
@@ -226,7 +303,9 @@ class DataLoader:
             finally:
                 put(None)
 
-        thread = threading.Thread(target=producer, daemon=True)
+        target = native_producer if self._native_pipe_usable() \
+            else producer
+        thread = threading.Thread(target=target, daemon=True)
         thread.start()
         try:
             while True:

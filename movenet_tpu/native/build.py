@@ -7,15 +7,15 @@ import sys
 from pathlib import Path
 
 HERE = Path(__file__).parent
-SRC = HERE / "io_loader.cpp"
+SRCS = [HERE / "io_loader.cpp", HERE / "pipeline.cpp"]
 OUT = HERE / "movenet_io.so"
 
 
 def build(verbose: bool = True) -> Path:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-march=native", "-ffast-math",
-        str(SRC), "-o", str(OUT),
+        "-march=native", "-ffast-math", "-pthread",
+        *[str(s) for s in SRCS], "-o", str(OUT),
     ]
     if verbose:
         print(" ".join(cmd))
