@@ -108,27 +108,36 @@ def _prepare_trunk(model: WaveNet, params, codes, video, labels,
         h = _front_embed(params["front_cur"], params["front_past"],
                          codes, dt, params["front_cur"].shape[0])
 
-    def block_weights(i):
-        blk = params[f"block_{i}"]
-        parts = [blk["w_cur"], blk["w_past"]]
-        b_fg = jnp.zeros((b, 2 * r), jnp.float32)
-        if ctx is not None:
-            parts.append(blk["context_proj"]["kernel"])
-            b_fg = b_fg + blk["context_proj"]["bias"][None, :]
-        if global_vec is not None:
-            b_fg = b_fg + jnp.dot(
-                global_vec, blk["global_proj"]["kernel"],
-                precision=jax.lax.Precision.HIGHEST)
-        w_fg = jnp.concatenate(
-            [p.astype(jnp.float32) for p in parts], axis=0)
-        w_out = jnp.concatenate(
-            [blk["residual_proj"]["kernel"],
-             blk["skip_proj"]["kernel"]], axis=1).astype(jnp.float32)
-        b_out = jnp.concatenate(
-            [blk["residual_proj"]["bias"], blk["skip_proj"]["bias"]])
-        return b_fg, w_fg, w_out, b_out
+    # stacked trunk weights, straight from the stacked param layout
+    # (wavenet.py setup): one concat per tensor class, no per-layer
+    # packing loop
+    def f32(x):
+        return x.astype(jnp.float32)
 
-    return h, ctx, block_weights
+    fg_parts = [f32(params["blocks_w_cur"]), f32(params["blocks_w_past"])]
+    n_layers = fg_parts[0].shape[0]
+    b_fg_all = jnp.zeros((n_layers, b, 2 * r), jnp.float32)
+    if ctx is not None:
+        fg_parts.append(f32(params["blocks_ctx_kernel"]))
+        b_fg_all = b_fg_all + f32(params["blocks_ctx_bias"])[:, None, :]
+    if global_vec is not None:
+        b_fg_all = b_fg_all + jnp.einsum(
+            "br,lro->lbo", global_vec,
+            f32(params["blocks_global_kernel"]),
+            precision=jax.lax.Precision.HIGHEST)
+    w_fg_all = jnp.concatenate(fg_parts, axis=1)      # (L, 2R|3R, 2R)
+    w_out_all = jnp.concatenate(
+        [f32(params["blocks_res_kernel"]),
+         f32(params["blocks_skip_kernel"])], axis=2)  # (L, R, R+S)
+    b_out_all = jnp.concatenate(
+        [f32(params["blocks_res_bias"]),
+         f32(params["blocks_skip_bias"])], axis=1)    # (L, R+S)
+    stacked = (b_fg_all, w_fg_all, w_out_all, b_out_all)
+
+    def block_weights(i):  # per-layer slices (per-block fallback path)
+        return (b_fg_all[i], w_fg_all[i], w_out_all[i], b_out_all[i])
+
+    return h, ctx, stacked, block_weights
 
 
 def _fused_trunk(model: WaveNet, params, codes, video, labels,
@@ -139,10 +148,10 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
     vocab = params["front_cur"].shape[0]
     dt = jnp.bfloat16 if model.compute_dtype == jnp.bfloat16 \
         else jnp.float32
-    h, ctx, block_weights = _prepare_trunk(model, params, codes, video,
-                                           labels, want_h=False)
+    h, ctx, stacked_w, block_weights = _prepare_trunk(
+        model, params, codes, video, labels, want_h=False)
     dilations = tuple(model.dilations)
-    stacked = _stack_weights(model, block_weights, t, dilations)
+    stacked = _stack_weights(model, stacked_w, t, dilations)
     if stacked is not None:
         from movenet_tpu.ops.pallas.stack_kernel import (
             fused_stack, fused_stack_embed, resolve_strategy)
@@ -179,8 +188,8 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
     return skip_sum
 
 
-def _stack_weights(model, block_weights, t, dilations):
-    """Stacked per-layer weights + VJP strategy for the whole-stack
+def _stack_weights(model, stacked_w, t, dilations):
+    """Kernel-ready stacked weights + VJP strategy for the whole-stack
     kernel, or None when no common tile exists (per-block fallback)."""
     from movenet_tpu.ops.pallas.stack_kernel import (
         pick_stack_tile, supports_recompute)
@@ -192,12 +201,9 @@ def _stack_weights(model, block_weights, t, dilations):
     # remat asks for the O(sum d) tails-recompute VJP when possible
     strategy = "recompute" if (
         model.remat and supports_recompute(t, dilations)) else "auto"
-    per_layer = [block_weights(i) for i in range(len(dilations))]
-    b_fg_all = jnp.concatenate([w[0] for w in per_layer], axis=0)
-    w_fg_all = jnp.stack([w[1] for w in per_layer])
-    w_out_all = jnp.stack([w[2] for w in per_layer])
-    b_out_all = jnp.stack([w[3] for w in per_layer])
-    return strategy, b_fg_all, w_fg_all, w_out_all, b_out_all
+    b_fg_all, w_fg_all, w_out_all, b_out_all = stacked_w
+    return (strategy, b_fg_all.reshape(-1, b_fg_all.shape[-1]),
+            w_fg_all, w_out_all, b_out_all)
 
 
 def _merged_loss(model: WaveNet, params, codes, video, labels,
@@ -209,9 +215,9 @@ def _merged_loss(model: WaveNet, params, codes, video, labels,
 
     b, t = codes.shape
     dilations = tuple(model.dilations)
-    h, ctx, block_weights = _prepare_trunk(model, params, codes, video,
-                                           labels)
-    stacked = _stack_weights(model, block_weights, t, dilations)
+    h, ctx, stacked_w, _ = _prepare_trunk(model, params, codes, video,
+                                          labels)
+    stacked = _stack_weights(model, stacked_w, t, dilations)
     if stacked is None:
         return None
     strategy, b_fg_all, w_fg_all, w_out_all, b_out_all = stacked

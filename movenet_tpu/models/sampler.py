@@ -58,22 +58,21 @@ class _Net(NamedTuple):
 
 def _extract(model: WaveNet, variables) -> _Net:
     p = variables["params"] if "params" in variables else variables
+    has_glob = "blocks_global_kernel" in p
     layers = []
     for i, d in enumerate(model.dilations):
-        blk = p[f"block_{i}"]
-        ctx = blk.get("context_proj")
-        glob = blk.get("global_proj")
         layers.append(_Layer(
             dilation=d,
-            w_cur=blk["w_cur"],
-            w_past=blk["w_past"],
-            ctx_kernel=None if ctx is None else ctx["kernel"],
-            ctx_bias=None if ctx is None else ctx["bias"],
-            glob_kernel=None if glob is None else glob["kernel"],
-            res_kernel=blk["residual_proj"]["kernel"],
-            res_bias=blk["residual_proj"]["bias"],
-            skip_kernel=blk["skip_proj"]["kernel"],
-            skip_bias=blk["skip_proj"]["bias"],
+            w_cur=p["blocks_w_cur"][i],
+            w_past=p["blocks_w_past"][i],
+            ctx_kernel=p["blocks_ctx_kernel"][i],
+            ctx_bias=p["blocks_ctx_bias"][i],
+            glob_kernel=(p["blocks_global_kernel"][i]
+                         if has_glob else None),
+            res_kernel=p["blocks_res_kernel"][i],
+            res_bias=p["blocks_res_bias"][i],
+            skip_kernel=p["blocks_skip_kernel"][i],
+            skip_bias=p["blocks_skip_bias"][i],
         ))
     return _Net(
         front_cur=p["front_cur"],

@@ -124,59 +124,6 @@ class VideoEncoder(nn.Module):
         return x  # (B, out_frames, R)
 
 
-class GatedResidualBlock(nn.Module):
-    """One dilated gated residual block (reference: modules.py:49-93).
-
-    Filter+gate fused into single (R, 2R) current/past taps; context
-    filter+gate fused into one (R, 2R) projection with bias (the
-    reference's 1x1 context convs carry biases; its dilated convs do not,
-    modules.py:34-43 vs :58-63).
-    """
-
-    residual_channels: int
-    skip_channels: int
-    dilation: int
-    compute_dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray],
-                 global_vec: Optional[jnp.ndarray] = None):
-        r = self.residual_channels
-        dt = self.compute_dtype
-        prec = _mm_precision(dt)
-        init = nn.initializers.lecun_normal()
-
-        w_cur = self.param("w_cur", init, (r, 2 * r), jnp.float32)
-        w_past = self.param("w_past", init, (r, 2 * r), jnp.float32)
-
-        fg = jnp.einsum("btc,co->bto", x, w_cur.astype(dt),
-                        precision=prec, preferred_element_type=dt)
-        fg += jnp.einsum("btc,co->bto", causal_pad_shift(x, self.dilation),
-                         w_past.astype(dt), precision=prec,
-                         preferred_element_type=dt)
-
-        if context is not None:
-            fg += nn.Dense(2 * r, dtype=dt, precision=prec,
-                           name="context_proj")(context)
-        if global_vec is not None:
-            # global (category) conditioning: a time-invariant gate/filter
-            # shift per example (the WaveNet-paper h-conditioning; the
-            # reference left this as a TODO, wavenet.py:73)
-            gshift = nn.Dense(2 * r, dtype=dt, precision=prec,
-                              use_bias=False,
-                              name="global_proj")(global_vec)
-            fg += gshift[:, None, :]
-
-        f, g = jnp.split(fg, 2, axis=-1)
-        gated = jnp.tanh(f) * jax.nn.sigmoid(g)
-
-        residual = nn.Dense(r, dtype=dt, precision=prec,
-                            name="residual_proj")(gated) + x
-        skip = nn.Dense(self.skip_channels, dtype=dt, precision=prec,
-                        name="skip_proj")(gated)
-        return residual, skip
-
-
 class WaveNet(nn.Module):
     """WaveNet with local (video) conditioning.
 
@@ -219,19 +166,44 @@ class WaveNet(nn.Module):
         self.front_past = self.param(
             "front_past", init, (self.input_channels, r), jnp.float32)
 
-        block = GatedResidualBlock
-        if self.remat:
-            block = nn.remat(GatedResidualBlock)
-        self.blocks = [
-            block(
-                residual_channels=r,
-                skip_channels=self.skip_channels,
-                dilation=d,
-                compute_dtype=self.compute_dtype,
-                name=f"block_{i}",
-            )
-            for i, d in enumerate(self.dilations)
-        ]
+        # gated residual blocks as STACKED (L, ...) parameter arrays
+        # instead of L per-block submodules: the WaveNet tree would
+        # otherwise hold ~10 tiny leaves PER LAYER, and every train
+        # step pays ~100 small-kernel launches to pack them for the
+        # fused kernels, split the stacked gradients back, and run the
+        # per-leaf optimizer/ravel arithmetic (~1 ms/step on v5e).
+        # The fused kernels and samplers consume exactly this layout.
+        n_layers = len(self.dilations)
+        binit = jax.nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal", in_axis=-2, out_axis=-1,
+            batch_axis=(0,))  # per-layer lecun_normal statistics
+        zeros = nn.initializers.zeros
+        self.blocks_w_cur = self.param(
+            "blocks_w_cur", binit, (n_layers, r, 2 * r), jnp.float32)
+        self.blocks_w_past = self.param(
+            "blocks_w_past", binit, (n_layers, r, 2 * r), jnp.float32)
+        # context filter+gate 1x1 convs (with bias, like the reference's
+        # modules.py:58-63); created unconditionally — unused (zero-grad)
+        # when no video conditioning is given
+        self.blocks_ctx_kernel = self.param(
+            "blocks_ctx_kernel", binit, (n_layers, r, 2 * r),
+            jnp.float32)
+        self.blocks_ctx_bias = self.param(
+            "blocks_ctx_bias", zeros, (n_layers, 2 * r), jnp.float32)
+        self.blocks_res_kernel = self.param(
+            "blocks_res_kernel", binit, (n_layers, r, r), jnp.float32)
+        self.blocks_res_bias = self.param(
+            "blocks_res_bias", zeros, (n_layers, r), jnp.float32)
+        self.blocks_skip_kernel = self.param(
+            "blocks_skip_kernel", binit,
+            (n_layers, r, self.skip_channels), jnp.float32)
+        self.blocks_skip_bias = self.param(
+            "blocks_skip_bias", zeros, (n_layers, self.skip_channels),
+            jnp.float32)
+        if self.global_classes:
+            self.blocks_global_kernel = self.param(
+                "blocks_global_kernel", binit, (n_layers, r, 2 * r),
+                jnp.float32)
         # output head (reference DenseConv, modules.py:133-142)
         self.head1 = nn.Dense(self.input_channels, dtype=self.compute_dtype,
                               precision=_mm_precision(self.compute_dtype),
@@ -289,6 +261,55 @@ class WaveNet(nn.Module):
             return None
         return self.global_embed(labels.astype(jnp.int32))
 
+    def apply_block(self, l: int, x: jnp.ndarray,
+                    context: Optional[jnp.ndarray],
+                    global_vec: Optional[jnp.ndarray] = None):
+        """One gated residual block from the stacked parameters
+        (reference modules.py:49-93): (residual, skip)."""
+        dt = self.compute_dtype
+        prec = _mm_precision(dt)
+        gk = None
+        if global_vec is not None and self.global_classes:
+            gk = self.blocks_global_kernel[l]
+        args = (self.blocks_w_cur[l], self.blocks_w_past[l],
+                self.blocks_ctx_kernel[l], self.blocks_ctx_bias[l], gk,
+                self.blocks_res_kernel[l], self.blocks_res_bias[l],
+                self.blocks_skip_kernel[l], self.blocks_skip_bias[l])
+
+        def dense(x, kernel, bias=None):
+            # exactly nn.Dense's contraction (bitwise: the fused-vs-
+            # unfused equivalence tests compare at near-bitwise
+            # tolerance and einsum can lower differently)
+            y = jax.lax.dot_general(
+                x.astype(dt), kernel.astype(dt),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=dt)
+            if bias is not None:
+                y = y + bias.astype(dt)
+            return y
+
+        def block(x, context, global_vec, *w):
+            (w_cur, w_past, ck, cb, gk, rk, rb, sk, sb) = w
+            fg = jnp.einsum("btc,co->bto", x, w_cur.astype(dt),
+                            precision=prec, preferred_element_type=dt)
+            fg += jnp.einsum("btc,co->bto",
+                             causal_pad_shift(x, self.dilations[l]),
+                             w_past.astype(dt), precision=prec,
+                             preferred_element_type=dt)
+            if context is not None:
+                fg += dense(context, ck, cb)
+            if gk is not None:
+                fg += dense(global_vec, gk)[:, None, :]
+            f, g = jnp.split(fg, 2, axis=-1)
+            gated = jnp.tanh(f) * jax.nn.sigmoid(g)
+            residual = dense(gated, rk, rb) + x
+            skip = dense(gated, sk, sb)
+            return residual, skip
+
+        if self.remat:
+            block = jax.checkpoint(block)
+        return block(x, context, global_vec, *args)
+
     def backbone(self, audio: jnp.ndarray,
                  context_features: Optional[jnp.ndarray],
                  global_vec: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -300,8 +321,9 @@ class WaveNet(nn.Module):
         """
         h = self._front(audio)
         skip_sum = None
-        for blk in self.blocks:
-            h, skip = blk(h, context_features, global_vec)
+        for l in range(len(self.dilations)):
+            h, skip = self.apply_block(l, h, context_features,
+                                       global_vec)
             skip_sum = skip if skip_sum is None else skip_sum + skip
         # head on full length; 1x1 ops commute with the final time slice
         y = self.head1(nn.leaky_relu(skip_sum))
@@ -378,13 +400,13 @@ class WaveNet(nn.Module):
         h = self._front(audio)
         buffers = []
         skip_sum = None
-        for blk, d in zip(self.blocks, self.dilations):
+        for l, d in enumerate(self.dilations):
             tail = h[:, t_total - d:, :].astype(jnp.float32)
             # ring layout: slot of time t is t mod d; tail index i holds
             # time T-d+i  ->  slot (T+i) mod d
             slots = (jnp.arange(d) - t_total) % d
             buffers.append(jnp.take(tail, slots, axis=1))
-            h, skip = blk(h, context, global_vec)
+            h, skip = self.apply_block(l, h, context, global_vec)
             skip_sum = skip if skip_sum is None else skip_sum + skip
         y = self.head1(nn.leaky_relu(skip_sum))
         logits = self.head2(nn.leaky_relu(y))
@@ -414,6 +436,25 @@ class WaveNet(nn.Module):
                 f"receptive fields. Number of input timesteps = "
                 f"{time_steps}, receptive fields = {self.receptive_fields}")
         return out
+
+
+def block_param_view(params, i: int) -> dict:
+    """Old per-block dict view over the stacked block parameters
+    (read-only; for tests/tools that port weights layer by layer)."""
+    out = {
+        "w_cur": params["blocks_w_cur"][i],
+        "w_past": params["blocks_w_past"][i],
+        "context_proj": {"kernel": params["blocks_ctx_kernel"][i],
+                         "bias": params["blocks_ctx_bias"][i]},
+        "residual_proj": {"kernel": params["blocks_res_kernel"][i],
+                          "bias": params["blocks_res_bias"][i]},
+        "skip_proj": {"kernel": params["blocks_skip_kernel"][i],
+                      "bias": params["blocks_skip_bias"][i]},
+    }
+    if "blocks_global_kernel" in params:
+        out["global_proj"] = {
+            "kernel": params["blocks_global_kernel"][i]}
+    return out
 
 
 def make_wavenet(model_config, compute_dtype=None) -> WaveNet:

@@ -65,37 +65,30 @@ def stack_sampler_params(model: WaveNet, variables,
     taps and zero fg bias.
     """
     p = variables["params"] if "params" in variables else variables
-    ls = [p[f"block_{i}"] for i in range(len(model.dilations))]
     r = model.residual_channels
+    n_layers = len(model.dilations)
 
     def f32(x):
         return jnp.asarray(x, jnp.float32)
 
+    fg_parts = [f32(p["blocks_w_cur"]), f32(p["blocks_w_past"])]
     if with_context:
-        w_fg = jnp.stack([
-            jnp.concatenate([f32(l["w_cur"]), f32(l["w_past"]),
-                             f32(l["context_proj"]["kernel"])], axis=0)
-            for l in ls])
-        b_fg = jnp.stack([f32(l["context_proj"]["bias"]) for l in ls])
+        fg_parts.append(f32(p["blocks_ctx_kernel"]))
+        b_fg = f32(p["blocks_ctx_bias"])
     else:
-        w_fg = jnp.stack([
-            jnp.concatenate([f32(l["w_cur"]), f32(l["w_past"])], axis=0)
-            for l in ls])
-        b_fg = jnp.zeros((len(ls), 2 * r), jnp.float32)
+        b_fg = jnp.zeros((n_layers, 2 * r), jnp.float32)
 
     return {
         "front_cur": f32(p["front_cur"]),
         "front_past": f32(p["front_past"]),
-        "w_fg": w_fg,
+        "w_fg": jnp.concatenate(fg_parts, axis=1),
         "b_fg": b_fg,
-        "w_out": jnp.stack([
-            jnp.concatenate([f32(l["residual_proj"]["kernel"]),
-                             f32(l["skip_proj"]["kernel"])], axis=1)
-            for l in ls]),
-        "b_out": jnp.stack([
-            jnp.concatenate([f32(l["residual_proj"]["bias"]),
-                             f32(l["skip_proj"]["bias"])])
-            for l in ls]),
+        "w_out": jnp.concatenate(
+            [f32(p["blocks_res_kernel"]),
+             f32(p["blocks_skip_kernel"])], axis=2),
+        "b_out": jnp.concatenate(
+            [f32(p["blocks_res_bias"]),
+             f32(p["blocks_skip_bias"])], axis=1),
         "h1_w": f32(p["head1"]["kernel"]),
         "h1_b": f32(p["head1"]["bias"]).reshape(1, -1),
         "h2_w": f32(p["head2"]["kernel"]),
@@ -463,12 +456,10 @@ def pallas_generate(
             variables, labels, method=WaveNet.embed_global)
         global_vec = global_vec.astype(jnp.float32)
         p = variables["params"] if "params" in variables else variables
-        shifts = jnp.stack([
-            jnp.dot(global_vec,
-                    jnp.asarray(p[f"block_{i}"]["global_proj"]["kernel"],
-                                jnp.float32),
-                    precision=_HI)
-            for i in range(len(model.dilations))])       # (L, B, 2R)
+        shifts = jnp.einsum(
+            "br,lro->lbo", global_vec,
+            jnp.asarray(p["blocks_global_kernel"], jnp.float32),
+            precision=_HI)                               # (L, B, 2R)
         b_fg = b_fg + shifts
     sp = dict(sp)
     fw = None

@@ -67,7 +67,7 @@ def main():
 
     pack = jax.jit(lambda p: jnp.sum(_stack_weights(
         model, _prepare_trunk(model, p, codes, None, None)[2],
-        t, tuple(model.dilations))[1]))
+        t, tuple(model.dilations))[2]))
     timed("weight packing + sum", pack, params)
 
     big = jnp.zeros((2, t, 64), jnp.bfloat16)

@@ -74,8 +74,9 @@ def _port_params_to_torch(ref_model, params):
         cc.weight[:, :, 1] = t(params["front_cur"]).T
         cc.weight[:, :, 0] = t(params["front_past"]).T
         r = params["front_cur"].shape[1]
+        from movenet_tpu.models.wavenet import block_param_view
         for i, blk in enumerate(ref_model.residual_conv_stack.conv_layers):
-            p = params[f"block_{i}"]
+            p = block_param_view(params, i)
             w_cur, w_past = np.asarray(p["w_cur"]), np.asarray(p["w_past"])
             blk.conv_filter.conv.weight[:, :, 1] = t(w_cur[:, :r]).T
             blk.conv_filter.conv.weight[:, :, 0] = t(w_past[:, :r]).T

@@ -110,5 +110,5 @@ def test_train_step_with_global_conditioning(setup, rng_np):
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     # the global projection receives gradient
-    g = state.params["block_0"]["global_proj"]["kernel"]
-    assert "global_proj" in state.params["block_0"]
+    assert "blocks_global_kernel" in state.params
+    g = state.params["blocks_global_kernel"][0]

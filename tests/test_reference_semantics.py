@@ -42,7 +42,8 @@ def _oracle_forward(p, dilations, x, ctx=None):
     offset = 0  # absolute time index of h[0]
     skips = []
     for i, d in enumerate(dilations):
-        blk = p[f"block_{i}"]
+        from movenet_tpu.models.wavenet import block_param_view
+        blk = block_param_view(p, i)
         w_cur, w_past = np.asarray(blk["w_cur"]), np.asarray(blk["w_past"])
         length = h.shape[0] - d  # VALID conv shrinks by the dilation
         fg = np.zeros((length, w_cur.shape[1]))
