@@ -123,6 +123,9 @@ class TrainingConfig:
     # run the optimizer over one concatenated parameter vector (same
     # math, ~10x fewer device ops; see train/optim.py:flatten_transform)
     flat_optimizer: bool = True
+    # run N optimizer steps per jitted call via lax.scan (amortizes
+    # host dispatch; metrics/logging granularity becomes N steps)
+    scan_steps: int = 1
     batch_subsample_frac: Optional[float] = None
     val_batch_subsample_frac: Optional[float] = None
     seed: int = 0
@@ -287,6 +290,7 @@ def arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--global_classes", type=int, default=0)
     p.add_argument("--fused_blocks", type=_bool_flag, default=False)
     p.add_argument("--flat_optimizer", type=_bool_flag, default=True)
+    p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     # distributed (reference flags kept; TPU-native additions below)
     p.add_argument("--dist_backend", type=str, default=None)
@@ -365,6 +369,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
         use_video=args.use_video,
         fused_blocks=args.fused_blocks,
         flat_optimizer=args.flat_optimizer,
+        scan_steps=args.scan_steps,
         gradient_clipping=args.gradient_clipping,
         batch_subsample_frac=args.batch_subsample_frac,
         val_batch_subsample_frac=args.val_batch_subsample_frac,

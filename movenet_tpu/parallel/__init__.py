@@ -16,6 +16,7 @@ from movenet_tpu.parallel.mesh import (
 from movenet_tpu.parallel.sharding import (
     batch_sharding,
     make_parallel_train_step,
+    make_parallel_scan_train_step,
     make_parallel_eval_step,
     replicate,
     shard_batch,
@@ -28,6 +29,7 @@ __all__ = [
     "sync_global_devices",
     "batch_sharding",
     "make_parallel_train_step",
+    "make_parallel_scan_train_step",
     "make_parallel_eval_step",
     "replicate",
     "shard_batch",

@@ -30,20 +30,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, accumulation: bool,
+def batch_sharding(mesh: Mesh, leading,
                    shard_time: Optional[bool] = None) -> Batch:
-    """PartitionSpecs for a Batch (as a Batch pytree of specs)."""
+    """PartitionSpecs for a Batch (as a Batch pytree of specs).
+
+    ``leading`` counts replicated leading axes ahead of the batch dim:
+    0 for a plain (B, ...) batch, 1 for gradient accumulation (A, B, ...)
+    OR a scanned multi-step batch (N, B, ...), 2 for both (N, A, B, ...).
+    A bool is accepted for backward compatibility (True == 1).
+    """
     if shard_time is None:
         shard_time = mesh.shape[SEQ_AXIS] > 1
     t_axis = SEQ_AXIS if shard_time else None
-    if accumulation:
-        codes = P(None, DATA_AXIS, t_axis)
-        video = P(None, DATA_AXIS, None, None, None, None)
-        labels = P(None, DATA_AXIS)
-    else:
-        codes = P(DATA_AXIS, t_axis)
-        video = P(DATA_AXIS, None, None, None, None)
-        labels = P(DATA_AXIS)
+    lead = (None,) * int(leading)
+    codes = P(*lead, DATA_AXIS, t_axis)
+    video = P(*lead, DATA_AXIS, None, None, None, None)
+    labels = P(*lead, DATA_AXIS)
     return Batch(codes=codes, video=video, labels=labels)
 
 
@@ -60,8 +62,7 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
     """Place a host (numpy) Batch onto the mesh with the standard
     sharding.  On multi-host, each process contributes its local shard
     (make_array_from_process_local_data)."""
-    accumulation = batch.codes.ndim == 3
-    spec = batch_sharding(mesh, accumulation)
+    spec = batch_sharding(mesh, batch.codes.ndim - 2)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -97,6 +98,32 @@ def make_parallel_train_step(model, config, mesh: Mesh,
     labels_sh = NamedSharding(mesh, spec.labels)
     batch_sh = Batch(codes=codes_sh, video=video_sh, labels=labels_sh)
 
+    return jax.jit(
+        step,
+        in_shardings=(rep, batch_sh),
+        out_shardings=(rep, rep),
+    )
+
+
+def make_parallel_scan_train_step(model, config, mesh: Mesh,
+                                  has_video: bool, n_steps: int,
+                                  shard_time: Optional[bool] = None):
+    """pjit ``n_steps`` optimizer steps scanned inside ONE executable.
+
+    Batches carry a leading (n_steps,) axis (plus the accumulation axis
+    when accumulation_steps > 1).  Amortizes per-dispatch host latency
+    n_steps-fold; metrics come back for the LAST scanned step only.
+    """
+    from movenet_tpu.train.loop import make_scan_train_step
+
+    step = make_scan_train_step(model, config, n_steps)
+    rep = replicate(mesh)
+    leading = 1 + (config.accumulation_steps > 1)
+    spec = batch_sharding(mesh, leading, shard_time)
+    codes_sh = NamedSharding(mesh, spec.codes)
+    video_sh = NamedSharding(mesh, spec.video) if has_video else None
+    labels_sh = NamedSharding(mesh, spec.labels)
+    batch_sh = Batch(codes=codes_sh, video=video_sh, labels=labels_sh)
     return jax.jit(
         step,
         in_shardings=(rep, batch_sh),

@@ -28,12 +28,13 @@ from movenet_tpu.parallel import (
     create_mesh,
     initialize_distributed,
     make_parallel_eval_step,
+    make_parallel_scan_train_step,
     make_parallel_train_step,
     shard_batch,
     sync_global_devices,
 )
 from movenet_tpu.train.checkpoint import CheckpointManager
-from movenet_tpu.train.loop import create_train_state
+from movenet_tpu.train.loop import Batch, create_train_state
 from movenet_tpu.train.optim import make_optimizer, make_schedule
 from movenet_tpu.utils.observability import make_writer
 from movenet_tpu.utils.samples import export_samples
@@ -120,6 +121,34 @@ def _device_prefetch(batches, mesh, depth: int = 2):
             yield item
     finally:
         stop.set()
+
+
+def _stack_batches(bs) -> Batch:
+    return Batch(
+        codes=np.stack([b.codes for b in bs]),
+        video=(None if bs[0].video is None
+               else np.stack([b.video for b in bs])),
+        labels=(None if bs[0].labels is None
+                else np.stack([b.labels for b in bs])),
+    )
+
+
+def _chunk_batches(batches, n: int, max_steps: Optional[int] = None):
+    """Group host batches into stacked (n, ...) scan chunks; the tail
+    that doesn't fill a chunk (epoch end / step cap) is yielded as
+    plain per-step batches."""
+    buf = []
+    produced = 0
+    for b in batches:
+        if max_steps is not None and produced >= max_steps:
+            break
+        buf.append(b)
+        produced += 1
+        if len(buf) == n:
+            yield _stack_batches(buf)
+            buf = []
+    for b in buf:
+        yield b
 
 
 def _mean_metrics(metrics_list) -> Dict[str, float]:
@@ -239,13 +268,22 @@ def train_model(
     writer = make_writer(config)
 
     has_video = config.use_video
+    scan_n = max(1, int(getattr(config, "scan_steps", 1)))
     with mesh:
         train_step = make_parallel_train_step(model, config, mesh,
                                               has_video=has_video)
+        scan_step = None
+        if scan_n > 1:
+            scan_step = make_parallel_scan_train_step(
+                model, config, mesh, has_video=has_video,
+                n_steps=scan_n)
         eval_step = make_parallel_eval_step(model, config, mesh,
                                             has_video=has_video)
         guard = PreemptionGuard()
         log_every = max(1, config.log_every_n_steps)
+        # a scan chunk carries one extra leading axis over the plain
+        # (accumulation-aware) batch rank
+        base_ndim = 2 + (config.accumulation_steps > 1)
 
         for epoch in range(start_epoch, config.n_epochs):
             t_epoch = time.perf_counter()
@@ -255,17 +293,31 @@ def train_model(
             # adds and only materialize every log_every steps
             metric_sums = None
             n_steps = 0
+            n_calls = 0
             t_window = time.perf_counter()
             window_start = 0
-            for i, batch in enumerate(
-                    _device_prefetch(train_loader.epoch(epoch), mesh)):
-                if i >= steps_per_epoch or guard.requested:
+            last_log = 0
+            source = train_loader.epoch(epoch)
+            if scan_step is not None:
+                source = _chunk_batches(source, scan_n, steps_per_epoch)
+            for batch in _device_prefetch(source, mesh):
+                if n_steps >= steps_per_epoch or guard.requested:
                     break
-                state, metrics = train_step(state, batch)
+                if scan_step is not None and \
+                        batch.codes.ndim == base_ndim + 1:
+                    # full chunk: scan_n optimizer steps in one call;
+                    # metrics sample the LAST scanned step
+                    state, metrics = scan_step(state, batch)
+                    n_steps += scan_n
+                else:
+                    state, metrics = train_step(state, batch)
+                    n_steps += 1
+                n_calls += 1
                 metric_sums = metrics if metric_sums is None else \
                     jax.tree.map(lambda a, b: a + b, metric_sums, metrics)
-                n_steps = i + 1
-                if n_steps % log_every == 0 or n_steps == steps_per_epoch:
+                if n_steps - last_log >= log_every or \
+                        n_steps >= steps_per_epoch:
+                    last_log = n_steps
                     vals = {k: float(v) for k, v in metrics.items()}
                     now = time.perf_counter()
                     vals["steps_per_sec"] = ((n_steps - window_start)
@@ -273,7 +325,7 @@ def train_model(
                     t_window, window_start = now, n_steps
                     writer.scalars("train", vals, int(state.step))
             train_mean = {} if metric_sums is None else {
-                k: float(v) / n_steps for k, v in metric_sums.items()}
+                k: float(v) / n_calls for k, v in metric_sums.items()}
 
             if guard.requested:
                 if jax.process_index() == 0:

@@ -14,6 +14,7 @@ from movenet_tpu.parallel import (
     create_mesh,
     local_batch_size,
     make_parallel_eval_step,
+    make_parallel_scan_train_step,
     make_parallel_train_step,
     shard_batch,
 )
@@ -112,6 +113,37 @@ def test_dp_plus_seq_sharding_matches():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         s1.params, s2.params)
+
+
+def test_scan_step_matches_sequential():
+    """N scanned optimizer steps in one pjit call == N sequential
+    parallel steps (same batches, same mesh)."""
+    model, cfg, state, _ = _setup(batch=4, t=512, seq=2, mesh_data=4)
+    rng = np.random.default_rng(1)
+    batches = [Batch(codes=rng.integers(
+        0, 32, size=(4, 512)).astype(np.int32)) for _ in range(3)]
+
+    mesh = create_mesh(MeshConfig(data=4, seq=2))
+    with mesh:
+        pstep = make_parallel_train_step(model, cfg, mesh,
+                                         has_video=False)
+        s_seq = state
+        for b in batches:
+            s_seq, m_seq = pstep(s_seq, shard_batch(mesh, b))
+
+        sstep = make_parallel_scan_train_step(model, cfg, mesh,
+                                              has_video=False, n_steps=3)
+        stacked = Batch(codes=np.stack([b.codes for b in batches]))
+        s_scan, m_scan = sstep(state, shard_batch(mesh, stacked))
+
+    assert int(s_scan.step) == int(s_seq.step) == 3
+    # scan metrics report the LAST step
+    np.testing.assert_allclose(float(m_scan["loss"]),
+                               float(m_seq["loss"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        s_scan.params, s_seq.params)
 
 
 def test_dp_with_video_and_accumulation():

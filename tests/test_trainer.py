@@ -144,6 +144,40 @@ def test_auto_resume(dataset_root, tmp_path, monkeypatch):
     assert int(state2.step) >= s1
 
 
+def test_scan_steps_trainer(dataset_root, tmp_path, monkeypatch):
+    """--scan_steps 2 groups loader batches into one scanned pjit call
+    per pair; step accounting and metrics still line up."""
+    import json as _json
+    from movenet_tpu.train.cli import main
+    import movenet_tpu.config as C
+
+    orig = C.config_from_args
+
+    def patched(args):
+        cfg = orig(args)
+        cfg.model_config.max_audio_frames = 2000
+        cfg.model_config.max_video_frames = 2
+        cfg.use_video = False
+        return cfg
+
+    monkeypatch.setattr(C, "config_from_args", patched)
+    monkeypatch.setattr("movenet_tpu.train.cli.config_from_args", patched)
+
+    out, logs = tmp_path / "m", tmp_path / "l"
+    args = _args(dataset_root, out, logs,
+                 extra=["--use_video", "0", "--scan_steps", "2"])
+    i = args.index("--log_samples_every")
+    args = args[:i] + args[i + 2:]
+    state = main(args)
+    # 2 epochs x (4 clips / batch 2) = 4 steps, taken as 2 scan calls
+    assert int(state.step) == 4
+    lines = [_json.loads(l) for l in
+             (logs / "metrics.jsonl").read_text().splitlines()]
+    train_lines = [l for l in lines if l["tag"] == "train"]
+    assert train_lines and all(np.isfinite(l["loss"])
+                               for l in train_lines)
+
+
 def test_preemption_checkpoints_and_exits(dataset_root, tmp_path,
                                           monkeypatch):
     """SIGTERM-style preemption: the loop checkpoints and exits at the
