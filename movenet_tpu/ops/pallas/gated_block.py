@@ -44,8 +44,8 @@ def _pick_tile(t: int, d: int, cap: int = 4000) -> int:
     compatible with the dilation ring (d < tile, or tile | d), and at
     most ``cap`` rows (VMEM budget; the backward kernel keeps more live
     tensors and uses a smaller cap)."""
-    for tile in (4000, 2000, 1600, 1000, 800, 512, 500, 400, 256, 200,
-                 128, 64, 32, 16, 8):
+    for tile in (16000, 8000, 4000, 2000, 1600, 1000, 800, 512, 500,
+                 400, 256, 200, 128, 64, 32, 16, 8):
         if tile > cap or t % tile or tile % 8:
             continue
         if d < tile or d % tile == 0:

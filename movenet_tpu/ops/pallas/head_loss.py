@@ -483,7 +483,7 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
     if _use_packed(t_total, s, c):
         return _fwd_pallas_packed(skip_sum, targets_tb, w1, b1, w2, b2,
                                   rf, parity, interpret)
-    tile = _pick_tile(t_total, 1, cap=4000)  # fwd holds few live tensors
+    tile = _pick_tile(t_total, 1, cap=8000)  # fwd holds few live tensors
     n_tiles = t_total // tile
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -521,7 +521,7 @@ def _bwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
     if _use_packed(t_total, s, c):
         return _bwd_pallas_packed(skip_sum, targets_tb, w1, b1, w2, b2,
                                   rf, parity, dloss, interpret)
-    tile = _pick_tile(t_total, 1, cap=2000)
+    tile = _pick_tile(t_total, 1, cap=8000)
     n_tiles = t_total // tile
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
 

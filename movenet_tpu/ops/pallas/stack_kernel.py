@@ -139,18 +139,24 @@ def resolve_strategy(strategy: str, x_shape, n_layers: int,
     critical path).  "recompute" saves only per-tile ring snapshots —
     O(sum(dilations)) rows instead of (L, B, T, R) — for long-sequence /
     deep configs where hsave would blow the HBM budget (the kernel-level
-    analogue of ModelConfig.remat).  "auto" chooses by hsave size.
+    analogue of ModelConfig.remat).  "replay" saves the taps (tfsg) but
+    not hsave: the backward replays the residual stream bit-exactly
+    from the rounded taps — halves the saved-activation HBM footprint
+    for one extra (R, R) matmul per layer (measured +0.6 ms/step on the
+    v5e breakdancing config, where that DMA was hidden under MXU work —
+    use when HBM capacity, not speed, is the constraint).  "auto"
+    chooses by hsave size.
     """
-    if strategy not in ("auto", "save", "recompute"):
+    if strategy not in ("auto", "save", "recompute", "replay"):
         raise ValueError(f"unknown fused_stack strategy: {strategy!r}")
     b, t, r = x_shape
     can_recompute = supports_recompute(t, dilations)
-    if strategy == "recompute":
+    if strategy in ("recompute", "replay"):
         if not can_recompute:
             raise ValueError(
-                "recompute strategy needs every dilation inside one "
+                f"{strategy} strategy needs every dilation inside one "
                 f"tile (T={t}, dilations={tuple(dilations)})")
-        return "recompute"
+        return strategy
     if strategy == "save":
         return "save"
     hsave_bytes = n_layers * b * t * r * itemsize
@@ -178,7 +184,8 @@ def _embed_onehot(codes_ref, prev_ref, b_idx, tile: int, vocab: int):
 
 
 def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
-                out_dtype, n_batch: int, embed_vocab: int = 0):
+                out_dtype, n_batch: int, embed_vocab: int = 0,
+                save_h: bool = True):
     n_layers = len(dilations)
     offs, small_total, _ = _split_ring_offsets(dilations, tile)
     small_pad = _pad8(small_total)
@@ -187,7 +194,10 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
                *rest):
         if embed_vocab:
             prev_ref, table2_ref, *rest = rest
-        (skip_ref, hsave_ref, tfsg_ref, tails_ref, ring_ref) = rest
+        if save_h:
+            (skip_ref, hsave_ref, tfsg_ref, tails_ref, ring_ref) = rest
+        else:
+            (skip_ref, tfsg_ref, tails_ref, ring_ref) = rest
         b_idx = pl.program_id(0)
         ti = pl.program_id(1)
         t0 = ti * tile
@@ -215,7 +225,8 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
         skip_acc = jnp.zeros((tile, s), jnp.float32)
 
         for l, d in enumerate(dilations):
-            hsave_ref[l, 0] = h.astype(out_dtype)
+            if save_h:
+                hsave_ref[l, 0] = h.astype(out_dtype)
             if d >= tile:
                 slot = offs[l] + jax.lax.rem(t0, d)
                 shifted = ring_ref[pl.ds(slot, tile), :]
@@ -233,9 +244,15 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
             # packed [tf | sg]: 2R = 128 lanes exactly, so this write is
             # padding-free; the backward reads it instead of re-running
             # the K=192 fg matmul (the largest FLOP class in the VJP)
-            tfsg_ref[l, 0] = jnp.concatenate([tf, sg],
-                                             axis=1).astype(out_dtype)
-            gated = tf * sg
+            v = jnp.concatenate([tf, sg], axis=1).astype(out_dtype)
+            tfsg_ref[l, 0] = v
+            # gated comes from the ROUNDED taps (identity in f32): the
+            # backward derives gated from the saved tfsg, and without
+            # per-layer hsave it also rebuilds the h chain from it —
+            # rounding first makes both reconstructions bit-exact (and
+            # matches the XLA path, which gates in the compute dtype)
+            vf = v.astype(jnp.float32)
+            gated = vf[:, :r] * vf[:, r:]
             out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
             skip_acc = skip_acc + out[:, r:]
             h = out[:, :r] + h
@@ -246,7 +263,8 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
 
 
 def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
-                interpret: bool, embed=None, dtype=None):
+                interpret: bool, embed=None, dtype=None,
+                save_h: bool = True):
     """embed=(codes_tb, codes_prev_tb, table2) replaces x: the front
     causal-conv embedding is computed IN the kernel (one-hot matmul per
     tile), so neither h nor any one-hot matrix touches HBM."""
@@ -292,16 +310,27 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         mid_args = (codes_prev_tb, table2)
         mid_specs = [code_spec, vm]
 
-    skip, hsave, tfsg, tails = pl.pallas_call(
+    # save_h=False ("replay" strategy): the backward rebuilds the h
+    # chain per tile from tfsg (bit-exact: fwd gates from the rounded
+    # taps) — hsave and its ~1.2 GB/step of HBM never exist
+    save_h = save_h or any(d >= tile for d in dilations)
+    hsave_specs, hsave_shapes = [], []
+    if save_h:
+        hsave_specs = [pl.BlockSpec((n_layers, 1, tile, r),
+                                    lambda b, i: (0, b, i, 0),
+                                    memory_space=pltpu.VMEM)]
+        hsave_shapes = [jax.ShapeDtypeStruct(
+            (n_layers, batch, t_total, r), dtype)]
+
+    outs = pl.pallas_call(
         _fwd_kernel(tuple(dilations), r, s, has_ctx, tile, dtype,
-                    batch, embed_vocab=0 if embed is None else vocab),
+                    batch, embed_vocab=0 if embed is None else vocab,
+                    save_h=save_h),
         grid=(batch, n_tiles),
         in_specs=lead_specs + [ctx_spec, vm, vm, vm, vm] + mid_specs,
         out_specs=(
             pl.BlockSpec((1, tile, s), tmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_layers, 1, tile, r),
-                         lambda b, i: (0, b, i, 0),
-                         memory_space=pltpu.VMEM),
+            *hsave_specs,
             pl.BlockSpec((n_layers, 1, tile, 2 * r),
                          lambda b, i: (0, b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -311,7 +340,7 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, t_total, s), dtype),
-            jax.ShapeDtypeStruct((n_layers, batch, t_total, r), dtype),
+            *hsave_shapes,
             jax.ShapeDtypeStruct((n_layers, batch, t_total, 2 * r),
                                  dtype),
             jax.ShapeDtypeStruct((batch, n_tiles, small_pad, r),
@@ -324,6 +353,11 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*lead_args, ctx_arg, b_fg, w_fg, w_out, b_out, *mid_args)
+    if save_h:
+        skip, hsave, tfsg, tails = outs
+    else:
+        skip, tfsg, tails = outs
+        hsave = None
     return skip, hsave, tfsg, tails
 
 
@@ -1078,16 +1112,26 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
 
 # -------------------------------------------------------------- backward
 def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
-                dilations, interpret: bool, embed=None):
-    """embed=(codes_tb, codes_prev_tb, vocab): the first output becomes
-    the stacked-table gradient (2V, R) f32 instead of dx (B, T, R)."""
-    n_layers, batch, t_total, r = hsave.shape
+                dilations, interpret: bool, embed=None, x=None,
+                b_out=None):
+    """embed=(codes_tb, codes_prev_tb, vocab[, table2]): the first
+    output becomes the stacked-table gradient (2V, R) f32 instead of
+    dx (B, T, R).
+
+    hsave=None (all dilations < tile): the kernel rebuilds the h chain
+    per tile from tfsg — layer 0's input comes from ``x`` (or the
+    embedding rebuilt from ``embed``), and each next h is the residual
+    update ``h + gated @ w_res + b_res`` with gated from the saved
+    (rounded) taps, bit-identical to what the forward computed."""
+    n_layers, batch, t_total, two_r = tfsg.shape
+    r = two_r // 2
     s = w_out.shape[2] - r
     has_ctx = ctx is not None
     tile = pick_stack_tile(t_total, dilations)
     n_tiles = t_total // tile
     w_in = w_fg.shape[1]
     small_pad = tails.shape[2]
+    save_h = hsave is not None
     # anti-causal rings need at least `tile` rows per layer
     offs2, total2 = [], 0
     for d in dilations:
@@ -1129,15 +1173,15 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         for l in big_layers
     ]
 
+    in_dtype = tfsg.dtype
     if embed is None:
         embed_args, embed_specs, vocab = (), [], 0
-        dx_shape = jax.ShapeDtypeStruct((batch, t_total, r),
-                                        hsave.dtype)
+        dx_shape = jax.ShapeDtypeStruct((batch, t_total, r), in_dtype)
         dx_spec = pl.BlockSpec((1, tile, r), rmap,
                                memory_space=pltpu.VMEM)
         embed_scratch = []
     else:
-        codes_tb, codes_prev_tb, vocab = embed
+        codes_tb, codes_prev_tb, vocab = embed[:3]
         code_spec = pl.BlockSpec((tile, batch),
                                  lambda b, j: (n_tiles - 1 - j, 0),
                                  memory_space=pltpu.VMEM)
@@ -1147,16 +1191,37 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         dx_spec = vm
         embed_scratch = [pltpu.VMEM((2 * vocab, r), jnp.float32)]
 
+    if save_h:
+        lead_args, lead_specs = (hsave,), [hsave_spec]
+        res_args, res_specs = (), []
+        h_scratch = []
+    else:
+        assert not big_layers, "no-hsave backward needs all d < tile"
+        if embed is None:
+            # layer-0 input: the op's own x block
+            lead_args = (x,)
+            lead_specs = [pl.BlockSpec((1, tile, r), rmap,
+                                       memory_space=pltpu.VMEM)]
+        else:
+            table2 = embed[3]
+            lead_args, lead_specs = (table2,), [vm]
+        # residual projection (columns [:r] of w_out) + its bias: the
+        # per-layer h update replayed from the saved taps
+        res_args = (w_out[:, :, :r], b_out[:, :r])
+        res_specs = [vm, vm]
+        h_scratch = [pltpu.VMEM((n_layers, tile, r), jnp.float32)]
+
     outs = pl.pallas_call(
         _bwd_kernel_padded(tuple(dilations), r, s, has_ctx, tile,
                            n_tiles, batch,
-                           hsave.dtype, tuple(offs2),
-                           embed_vocab=vocab),
+                           in_dtype, tuple(offs2),
+                           embed_vocab=vocab, save_h=save_h),
         grid=(batch, n_tiles),
-        in_specs=[hsave_spec, tfsg_spec, tails_spec, ctx_spec, vm, vm,
-                  pl.BlockSpec((1, tile, s), rmap,
-                               memory_space=pltpu.VMEM),
-                  *embed_specs, *shift_specs],
+        in_specs=lead_specs + [tfsg_spec, tails_spec, ctx_spec, vm, vm,
+                               *res_specs,
+                               pl.BlockSpec((1, tile, s), rmap,
+                                            memory_space=pltpu.VMEM),
+                               *embed_specs, *shift_specs],
         out_specs=(
             dx_spec,
             pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
@@ -1164,13 +1229,13 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         ),
         out_shape=(
             dx_shape,
-            jax.ShapeDtypeStruct((batch, t_total, r), hsave.dtype),
+            jax.ShapeDtypeStruct((batch, t_total, r), in_dtype),
             jax.ShapeDtypeStruct((n_layers * batch, 2 * r), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, w_in, 2 * r), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, r, r + s), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, r + s), jnp.float32),
         ),
-        scratch_shapes=embed_scratch + [
+        scratch_shapes=embed_scratch + h_scratch + [
             pltpu.VMEM((total2, r), jnp.float32),
             pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
@@ -1180,28 +1245,36 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(hsave, tfsg, tails, ctx_arg,
-      jnp.swapaxes(w_fg, 1, 2), jnp.swapaxes(w_out, 1, 2),
+    )(*lead_args, tfsg, tails, ctx_arg,
+      jnp.swapaxes(w_fg, 1, 2), jnp.swapaxes(w_out, 1, 2), *res_args,
       dskip, *embed_args, *([hsave] * len(big_layers)))
     return outs
 
 
 def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                        n_batch, in_dtype, ring_offs,
-                       embed_vocab: int = 0):
+                       embed_vocab: int = 0, save_h: bool = True):
     """_bwd_kernel with explicit (padded) ring offsets.
 
     embed_vocab > 0: the layer-0 input gradient is contracted against
     the tile's rebuilt embedding one-hot into a stacked-table gradient
-    (2V, R) instead of being written out as dx (B, T, R)."""
+    (2V, R) instead of being written out as dx (B, T, R).
+
+    save_h=False: no per-layer hsave input — the h chain is replayed
+    per tile (layer 0's input from x/the rebuilt embedding, then
+    ``h += gated @ w_res + b_res`` with gated from the saved rounded
+    taps), bit-identical to the forward's residual stream."""
     n_layers = len(dilations)
     tail_offs, _, _ = _split_ring_offsets(dilations, tile)
     big_layers = [l for l, d in enumerate(dilations) if d >= tile]
     shift_slot = {l: i for i, l in enumerate(big_layers)}
 
     def kernel(*refs):
-        (hsave_ref, tfsg_ref, tails_ref, ctx_ref, w_fg_t_ref,
-         w_out_t_ref, dskip_ref, *rest) = refs
+        (lead_ref, tfsg_ref, tails_ref, ctx_ref, w_fg_t_ref,
+         w_out_t_ref, *rest) = refs
+        if not save_h:
+            w_res_ref, b_res_ref, *rest = rest
+        dskip_ref, *rest = rest
         if embed_vocab:
             codes_ref, prev_ref, *rest = rest
         shift_refs = rest[:len(big_layers)]
@@ -1209,6 +1282,8 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
          db_out_ref, *rest) = rest[len(big_layers):]
         if embed_vocab:
             dtab_acc, *rest = rest
+        if not save_h:
+            h_all, *rest = rest
         (dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
          dbfg_acc) = rest
 
@@ -1238,10 +1313,33 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
         ones_col = jnp.ones((tile, 1), jnp.float32)
         w_in = (3 if has_ctx else 2) * r
 
+        oh2 = None
+        if not save_h:
+            # replay the forward's residual stream from the same
+            # rounded-gated inputs; on the MXU each res column of
+            # w_out contracts independently of the skip columns, so
+            # the reconstructed h matches the forward's to summation
+            # order (bit-exact on TPU, f32-jitter in interpret mode)
+            if embed_vocab:
+                oh2 = _embed_onehot(codes_ref, prev_ref, b_idx, tile,
+                                    embed_vocab)
+                h_rec = _dot(oh2, lead_ref[:, :])
+                if in_dtype != jnp.float32:
+                    h_rec = h_rec.astype(in_dtype).astype(jnp.float32)
+            else:
+                h_rec = lead_ref[0].astype(jnp.float32)
+            for l in range(n_layers):
+                h_all[l] = h_rec
+                v = tfsg_ref[l, 0].astype(jnp.float32)
+                gated = v[:, :r] * v[:, r:]
+                h_rec = h_rec + (_dot(gated, w_res_ref[l])
+                                 + b_res_ref[pl.ds(l, 1), :])
+
         for l in reversed(range(n_layers)):
             d = dilations[l]
             off = ring_offs[l]
-            h = hsave_ref[l, 0].astype(jnp.float32)
+            h = lead_ref[l, 0].astype(jnp.float32) if save_h \
+                else h_all[l]
             if d >= tile:
                 shifted = shift_refs[shift_slot[l]][0, 0].astype(
                     jnp.float32)
@@ -1295,8 +1393,9 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
         if embed_vocab:
             # dx_ref doubles as the (2V, R) stacked-table gradient,
             # accumulated in scratch and emitted once at the end
-            oh2 = _embed_onehot(codes_ref, prev_ref, b_idx, tile,
-                                embed_vocab)
+            if oh2 is None:
+                oh2 = _embed_onehot(codes_ref, prev_ref, b_idx, tile,
+                                    embed_vocab)
             dtab_acc[:, :] += _dot_t0(oh2, dh)
         else:
             dx_ref[0] = dh.astype(in_dtype)
@@ -1348,7 +1447,8 @@ def fused_stack(x, ctx, b_fg, w_fg, w_out, b_out, dilations: tuple,
                                     dilations, interpret)
     else:
         skip, _, _, _ = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
-                                    dilations, interpret)
+                                    dilations, interpret,
+                                    save_h=mode != "replay")
     return skip
 
 
@@ -1361,8 +1461,9 @@ def _fs_fwd(x, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
                                         b_out, dilations, interpret)
         return skip, (x, tails, ctx, b_fg, w_fg, w_out, b_out)
     skip, hsave, tfsg, tails = _fwd_pallas(x, ctx, b_fg, w_fg, w_out,
-                                           b_out, dilations, interpret)
-    return skip, (hsave, tfsg, tails, ctx, w_fg, w_out)
+                                           b_out, dilations, interpret,
+                                           save_h=mode != "replay")
+    return skip, (x, hsave, tfsg, tails, ctx, w_fg, w_out, b_out)
 
 
 def _fs_bwd(dilations, interpret, strategy, saved, dskip):
@@ -1372,10 +1473,10 @@ def _fs_bwd(dilations, interpret, strategy, saved, dskip):
             x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip, dilations,
             interpret)
     else:
-        hsave, tfsg, tails, ctx, w_fg, w_out = saved
+        x, hsave, tfsg, tails, ctx, w_fg, w_out, b_out = saved
         dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
             hsave, tfsg, tails, ctx, w_fg, w_out, dskip, dilations,
-            interpret)
+            interpret, x=x, b_out=b_out)
     if ctx is None:
         dctx = None
     return (dx, dctx, db_fg.astype(jnp.float32),
@@ -1423,17 +1524,18 @@ def _fse_fwd(codes_tb, codes_prev_tb, table2, ctx, b_fg, w_fg, w_out,
     skip, hsave, tfsg, tails = _fwd_pallas(
         None, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
         embed=(codes_tb, codes_prev_tb, table2), dtype=compute_dtype)
-    return skip, (hsave, tfsg, tails, ctx, w_fg, w_out,
+    return skip, (hsave, tfsg, tails, ctx, w_fg, w_out, b_out,
                   codes_tb, codes_prev_tb, table2)
 
 
 def _fse_bwd(dilations, compute_dtype, interpret, saved, dskip):
-    (hsave, tfsg, tails, ctx, w_fg, w_out,
+    (hsave, tfsg, tails, ctx, w_fg, w_out, b_out,
      codes_tb, codes_prev_tb, table2) = saved
     vocab = table2.shape[0] // 2
     dtab, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
         hsave, tfsg, tails, ctx, w_fg, w_out, dskip, dilations,
-        interpret, embed=(codes_tb, codes_prev_tb, vocab))
+        interpret, embed=(codes_tb, codes_prev_tb, vocab, table2),
+        b_out=b_out)
     if ctx is None:
         dctx = None
     return (None, None, dtab.astype(table2.dtype), dctx,

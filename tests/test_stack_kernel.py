@@ -160,6 +160,36 @@ def test_stack_recompute_strategy_matches_save(dilations, has_ctx):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dilations", [(1, 2, 4, 1, 2, 4),
+                                       (1, 128, 256)])
+@pytest.mark.parametrize("has_ctx", [False, True])
+def test_stack_replay_strategy_matches_save(dilations, has_ctx):
+    """The replay VJP (no hsave: h chain rebuilt from the saved taps)
+    must agree with save-all.  The replayed residual update contracts
+    only the res columns of w_out, so summation order can differ from
+    the forward's full-width matmul by f32 rounding (same tolerance
+    class as recompute-vs-save)."""
+    x, ctx, b_fg, w_fg, w_out, b_out = _make(dilations, has_ctx)
+    args = (x, ctx, b_fg, w_fg, w_out, b_out)
+
+    def loss(strategy):
+        def f(*a):
+            return jnp.sum(jnp.sin(fused_stack(
+                *a, tuple(dilations), True, strategy)))
+        return f
+
+    argnums = (0, 2, 3, 4, 5) if not has_ctx else (0, 1, 2, 3, 4, 5)
+    v_save = loss("save")(*args)
+    v_rep = loss("replay")(*args)
+    np.testing.assert_allclose(np.asarray(v_rep), np.asarray(v_save),
+                               rtol=1e-6)
+    g_save = jax.grad(loss("save"), argnums=argnums)(*args)
+    g_rep = jax.grad(loss("replay"), argnums=argnums)(*args)
+    for a, b_ in zip(g_rep, g_save):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_resolve_strategy_rules():
     from movenet_tpu.ops.pallas.stack_kernel import resolve_strategy
 
