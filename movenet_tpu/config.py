@@ -58,6 +58,12 @@ class ModelConfig:
     # Rematerialize each gated residual block in the backward pass
     # (trades FLOPs for HBM; needed for layer_size=14 / 160k-sample runs).
     remat: bool = False
+    # Fused-trunk VJP memory strategy: "auto" (default), "save",
+    # "replay" (no per-layer h saves; ~half the activation HBM), or
+    # "recompute" (ring snapshots only).  See
+    # ops/pallas/stack_kernel.resolve_strategy; remat=True implies
+    # recompute when unset.
+    fused_strategy: Optional[str] = None
 
     @property
     def dilations(self) -> List[int]:
@@ -305,6 +311,8 @@ def arg_parser() -> argparse.ArgumentParser:
                    choices=["bfloat16", "float32"])
     p.add_argument("--parity_softmax_output", type=_bool_flag, default=True)
     p.add_argument("--remat", type=_bool_flag, default=False)
+    p.add_argument("--fused_strategy", type=str, default=None,
+                   choices=["auto", "save", "replay", "recompute"])
     # model IO
     p.add_argument(
         "--pretrained_model_path",
@@ -350,6 +358,7 @@ def config_from_args(args: argparse.Namespace) -> TrainingConfig:
             compute_dtype=args.compute_dtype,
             parity_softmax_output=args.parity_softmax_output,
             remat=args.remat,
+            fused_strategy=args.fused_strategy,
             global_classes=args.global_classes,
         ),
         mesh=MeshConfig(data=args.mesh_data, seq=args.mesh_seq),

@@ -198,9 +198,12 @@ def _stack_weights(model, stacked_w, t, dilations):
         pick_stack_tile(t, dilations)
     except ValueError:
         return None
-    # remat asks for the O(sum d) tails-recompute VJP when possible
-    strategy = "recompute" if (
-        model.remat and supports_recompute(t, dilations)) else "auto"
+    # explicit override first; else remat asks for the O(sum d)
+    # tails-recompute VJP when possible
+    strategy = getattr(model, "fused_strategy", None)
+    if strategy is None:
+        strategy = "recompute" if (
+            model.remat and supports_recompute(t, dilations)) else "auto"
     b_fg_all, w_fg_all, w_out_all, b_out_all = stacked_w
     return (strategy, b_fg_all.reshape(-1, b_fg_all.shape[-1]),
             w_fg_all, w_out_all, b_out_all)

@@ -145,6 +145,8 @@ class WaveNet(nn.Module):
     context_in_channels: int = 1
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # fused-trunk VJP strategy override (None -> auto/remat rules)
+    fused_strategy: Optional[str] = None
     max_audio_frames: int = MAX_AUDIO_FRAMES
     max_video_frames: int = MAX_VIDEO_FRAMES
     global_classes: int = 0
@@ -472,6 +474,7 @@ def make_wavenet(model_config, compute_dtype=None) -> WaveNet:
         context_in_channels=model_config.context_in_channels,
         compute_dtype=dt,
         remat=model_config.remat,
+        fused_strategy=getattr(model_config, "fused_strategy", None),
         max_audio_frames=model_config.max_audio_frames,
         max_video_frames=model_config.max_video_frames,
         global_classes=model_config.global_classes,

@@ -12,12 +12,14 @@ from movenet_tpu.models.fused import fused_train_logits, supports_fused
 from movenet_tpu.models.wavenet import WaveNet, make_wavenet
 
 
-@pytest.mark.parametrize("video,glob", [(False, False), (True, True)])
-def test_fused_trunk_matches_flax(video, glob, rng_np):
+@pytest.mark.parametrize("video,glob,strategy",
+                         [(False, False, None), (True, True, None),
+                          (False, False, "replay")])
+def test_fused_trunk_matches_flax(video, glob, strategy, rng_np):
     cfg = ModelConfig(
         layer_size=3, stack_size=2, input_channels=64,
         residual_channels=16, skip_channels=16, compute_dtype="float32",
-        global_classes=3 if glob else 0,
+        global_classes=3 if glob else 0, fused_strategy=strategy,
         max_audio_frames=16000, max_video_frames=16)
     model = make_wavenet(cfg)
     t = 16000 if video else 1024
