@@ -140,8 +140,25 @@ def _prepare_trunk(model: WaveNet, params, codes, video, labels,
     return h, ctx, stacked, block_weights
 
 
+def _codes_pack(codes, with_targets: bool):
+    """ONE (T, kB) s32 relayout serving every per-position consumer:
+    columns [0,B) = codes, [B,2B) = codes shifted right (row 0 = -1
+    sentinel), and with_targets, [2B,3B) = codes shifted left (CE
+    targets; junk last row, masked by the head kernel).  The shifts
+    happen on the compact (B, T) layout — row ops on the padded (T, B)
+    tiling rewrite every 128-lane tile and cost ~0.5 ms/step; separate
+    transposes per consumer cost ~0.13 ms each (both measured, v5e)."""
+    b = codes.shape[0]
+    parts = [codes,
+             jnp.concatenate([jnp.full((b, 1), -1, jnp.int32),
+                              codes[:, :-1]], axis=1)]
+    if with_targets:
+        parts.append(jnp.roll(codes, -1, axis=1))
+    return jnp.concatenate(parts, axis=0).T              # (T, kB)
+
+
 def _fused_trunk(model: WaveNet, params, codes, video, labels,
-                 interpret: bool):
+                 interpret: bool, codes_pack=None):
     """Shared fused trunk: codes (+video/labels) -> skip_sum (B,T,S)."""
     b, t = codes.shape
     r = model.residual_channels
@@ -162,15 +179,13 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
         if mode == "save" and 2 * vocab <= 512:
             # front embedding folded into the kernel: no h / one-hot /
             # dx round-trips through HBM (~0.5 ms/step saved)
-            codes_tb = codes.T
-            prev_tb = jnp.concatenate(
-                [jnp.full((b, 1), -1, jnp.int32), codes[:, :-1]],
-                axis=1).T
+            if codes_pack is None:
+                codes_pack = _codes_pack(codes, with_targets=False)
             table2 = jnp.concatenate(
                 [params["front_cur"], params["front_past"]],
                 axis=0).astype(dt)
             return fused_stack_embed(
-                codes_tb, prev_tb, table2, ctx, b_fg_all, w_fg_all,
+                codes_pack, table2, ctx, b_fg_all, w_fg_all,
                 w_out_all, b_out_all, dilations, dt, interpret)
         h = _front_embed(params["front_cur"], params["front_past"],
                          codes, dt, vocab)
@@ -261,14 +276,16 @@ def fused_train_loss(model: WaveNet, params, codes: jnp.ndarray,
             loss_sum, match = merged
             n_valid = b * (t - model.receptive_fields)
             return loss_sum / n_valid, match / n_valid
+    # one packed (T, 3B) relayout carries codes + prev + targets for
+    # both the trunk and the head kernel
+    pack3 = _codes_pack(codes, with_targets=True)
     skip_sum = _fused_trunk(model, params, codes, video, labels,
-                            interpret)
-    targets_tb = jnp.roll(codes, -1, axis=1).T          # (T, B)
+                            interpret, codes_pack=pack3)
     loss_sum, match = fused_head_loss(
-        skip_sum, targets_tb, params["head1"]["kernel"],
+        skip_sum, pack3, params["head1"]["kernel"],
         params["head1"]["bias"], params["head2"]["kernel"],
         params["head2"]["bias"], model.receptive_fields, parity,
-        interpret)
+        interpret, tgt_off=2 * b)
     n_valid = b * (t - model.receptive_fields)
     return loss_sum / n_valid, match / n_valid
 

@@ -267,7 +267,7 @@ def _bwd_kernel_packed(rf: int, t_total: int, parity: bool, tile2: int,
 
 
 def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
-                n_tiles: int, n_batch: int):
+                n_tiles: int, n_batch: int, tgt_off: int = 0):
     def kernel(skip_ref, tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                loss_ref, match_ref, acc_ref):
         b_idx = pl.program_id(0)
@@ -280,10 +280,13 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
             acc_ref[0, 1] = 0.0
 
         skip = skip_ref[0].astype(jnp.float32)
-        # select this batch's column from the (tile, n_batch) block
+        # select this batch's column from the (tile, >=n_batch) block
+        # (tgt_off skips leading columns when targets ride a packed
+        # codes array)
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
-        tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
-                          axis=1, keepdims=True)        # (tile, 1)
+        tgt_col = jnp.sum(
+            jnp.where(lane == tgt_off + b_idx, tgt_ref[:, :], 0),
+            axis=1, keepdims=True)                      # (tile, 1)
         _, z, p, onehot, zmax = _core(
             skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
             w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
@@ -306,7 +309,7 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
 
 
 def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
-                n_tiles: int, n_batch: int, in_dtype):
+                n_tiles: int, n_batch: int, in_dtype, tgt_off: int = 0):
     def kernel(skip_ref, tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                w1t_ref, w2t_ref, dloss_ref,
                dskip_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
@@ -324,8 +327,9 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
 
         skip = skip_ref[0].astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
-        tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
-                          axis=1, keepdims=True)
+        tgt_col = jnp.sum(
+            jnp.where(lane == tgt_off + b_idx, tgt_ref[:, :], 0),
+            axis=1, keepdims=True)
         y, z, p, onehot, _zmax = _core(
             skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
             w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
@@ -477,10 +481,11 @@ def _bwd_pallas_packed(skip_sum, targets_tb, w1, b1, w2, b2, rf,
 
 
 def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
-                parity: bool, interpret: bool):
+                parity: bool, interpret: bool, tgt_off: int = 0):
     batch, t_total, s = skip_sum.shape
     c = w2.shape[1]
-    if _use_packed(t_total, s, c):
+    if tgt_off == 0 and targets_tb.shape[1] == batch and \
+            _use_packed(t_total, s, c):
         return _fwd_pallas_packed(skip_sum, targets_tb, w1, b1, w2, b2,
                                   rf, parity, interpret)
     tile = _pick_tile(t_total, 1, cap=8000)  # fwd holds few live tensors
@@ -488,12 +493,14 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     loss, match = pl.pallas_call(
-        _fwd_kernel(rf, t_total, c, parity, tile, n_tiles, batch),
+        _fwd_kernel(rf, t_total, c, parity, tile, n_tiles, batch,
+                    tgt_off),
         grid=(batch, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, s), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, batch), lambda b, i: (i, 0),
+            pl.BlockSpec((tile, targets_tb.shape[1]),
+                         lambda b, i: (i, 0),
                          memory_space=pltpu.VMEM),
             vm, vm, vm, vm,
         ],
@@ -515,10 +522,11 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
 
 
 def _bwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
-                dloss, interpret):
+                dloss, interpret, tgt_off: int = 0):
     batch, t_total, s = skip_sum.shape
     c = w2.shape[1]
-    if _use_packed(t_total, s, c):
+    if tgt_off == 0 and targets_tb.shape[1] == batch and \
+            _use_packed(t_total, s, c):
         return _bwd_pallas_packed(skip_sum, targets_tb, w1, b1, w2, b2,
                                   rf, parity, dloss, interpret)
     tile = _pick_tile(t_total, 1, cap=8000)
@@ -527,12 +535,13 @@ def _bwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
 
     dskip, dw1, db1, dw2, db2 = pl.pallas_call(
         _bwd_kernel(rf, t_total, c, parity, tile, n_tiles, batch,
-                    skip_sum.dtype),
+                    skip_sum.dtype, tgt_off),
         grid=(batch, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, s), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, batch), lambda b, i: (i, 0),
+            pl.BlockSpec((tile, targets_tb.shape[1]),
+                         lambda b, i: (i, 0),
                          memory_space=pltpu.VMEM),
             vm, vm, vm, vm, vm, vm,
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -564,34 +573,37 @@ def _bwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
     return dskip, dw1, db1.reshape(-1), dw2, db2.reshape(-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_head_loss(skip_sum, targets_tb, w1, b1, w2, b2,
-                    rf: int, parity: bool, interpret: bool = False):
+                    rf: int, parity: bool, interpret: bool = False,
+                    tgt_off: int = 0):
     """(loss_sum, match_count) over the valid region [RF-1, T-1).
 
     Args:
       skip_sum: (B, T, S) accumulated skip connections (full length).
-      targets_tb: (T, B) int32 where row t holds codes[t+1] (last row
-        is junk and masked).
+      targets_tb: (T, >=B) int32 where row t of column tgt_off + b
+        holds codes[b, t+1] (last row is junk and masked).  tgt_off
+        lets the targets ride a packed codes array (models/fused.py)
+        so the s32 relayout happens once.
       w1/b1, w2/b2: head parameters (S,C)/(C,), (C,C)/(C,).
     """
     return _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf,
-                       parity, interpret)
+                       parity, interpret, tgt_off)
 
 
 def _fhl_fwd(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
-             interpret):
+             interpret, tgt_off):
     out = _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
-                      interpret)
+                      interpret, tgt_off)
     return out, (skip_sum, targets_tb, w1, b1, w2, b2)
 
 
-def _fhl_bwd(rf, parity, interpret, saved, grads):
+def _fhl_bwd(rf, parity, interpret, tgt_off, saved, grads):
     skip_sum, targets_tb, w1, b1, w2, b2 = saved
     dloss, _ = grads  # match count is not differentiated
     dskip, dw1, db1, dw2, db2 = _bwd_pallas(
         skip_sum, targets_tb, w1, b1, w2, b2, rf, parity, dloss,
-        interpret)
+        interpret, tgt_off)
     return (dskip, None, dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype))
 

@@ -166,18 +166,24 @@ def resolve_strategy(strategy: str, x_shape, n_layers: int,
 
 
 # --------------------------------------------------------------- forward
-def _embed_onehot(codes_ref, prev_ref, b_idx, tile: int, vocab: int):
+def _embed_onehot(pack_ref, b_idx, tile: int, vocab: int,
+                  n_batch: int):
     """Packed causal-embedding one-hot: (tile, 2V) with the current
     code's one-hot in columns [0, V) and the previous code's in
     [V, 2V), so ONE K=2V matmul against the stacked [cur; past] table
     computes h[t] = cur[codes[t]] + past[codes[t-1]].  Out-of-range
-    codes (-1 marks t=0, which has no past tap) contribute zeros."""
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, codes_ref.shape, 1)
-    sel = (lane_b == b_idx)
-    cur_col = jnp.sum(jnp.where(sel, codes_ref[:, :], 0), axis=1,
+    codes (-1 marks t=0, which has no past tap) contribute zeros.
+
+    pack_ref is the (tile, >=2B) packed code block: column b holds
+    codes[b], column n_batch + b holds codes[b] shifted one step right
+    (one host-side s32 relayout serves every consumer; see
+    models/fused.py)."""
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, pack_ref.shape, 1)
+    pack = pack_ref[:, :]
+    cur_col = jnp.sum(jnp.where(lane_b == b_idx, pack, 0), axis=1,
                       keepdims=True)                     # (tile, 1)
-    prev_col = jnp.sum(jnp.where(sel, prev_ref[:, :], 0), axis=1,
-                       keepdims=True)
+    prev_col = jnp.sum(jnp.where(lane_b == n_batch + b_idx, pack, 0),
+                       axis=1, keepdims=True)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (tile, 2 * vocab), 1)
     tgt2 = jnp.where(lane_c < vocab, cur_col, prev_col + vocab)
     return (lane_c == tgt2).astype(jnp.float32)
@@ -193,7 +199,7 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
     def kernel(x_ref, ctx_ref, b_fg_ref, w_fg_ref, w_out_ref, b_out_ref,
                *rest):
         if embed_vocab:
-            prev_ref, table2_ref, *rest = rest
+            table2_ref, *rest = rest
         if save_h:
             (skip_ref, hsave_ref, tfsg_ref, tails_ref, ring_ref) = rest
         else:
@@ -212,8 +218,8 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
             out_dtype)
 
         if embed_vocab:
-            oh2 = _embed_onehot(x_ref, prev_ref, b_idx, tile,
-                                embed_vocab)
+            oh2 = _embed_onehot(x_ref, b_idx, tile, embed_vocab,
+                                n_batch)
             h = _dot(oh2, table2_ref[:, :])
             if out_dtype != jnp.float32:
                 # round like the XLA path so hsave (what the backward
@@ -272,8 +278,8 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
         batch, t_total, r = x.shape
         dtype = x.dtype
     else:
-        codes_tb, codes_prev_tb, table2 = embed
-        t_total, batch = codes_tb.shape
+        codes2_tb, table2, batch = embed
+        t_total = codes2_tb.shape[0]
         r = table2.shape[1]
         vocab = table2.shape[0] // 2
     s = w_out.shape[2] - r
@@ -303,12 +309,13 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
                                    memory_space=pltpu.VMEM)]
         mid_args, mid_specs = (), []
     else:
-        code_spec = pl.BlockSpec((tile, batch), lambda b, i: (i, 0),
+        code_spec = pl.BlockSpec((tile, codes2_tb.shape[1]),
+                                 lambda b, i: (i, 0),
                                  memory_space=pltpu.VMEM)
-        lead_args = (codes_tb,)
+        lead_args = (codes2_tb,)
         lead_specs = [code_spec]
-        mid_args = (codes_prev_tb, table2)
-        mid_specs = [code_spec, vm]
+        mid_args = (table2,)
+        mid_specs = [vm]
 
     # save_h=False ("replay" strategy): the backward rebuilds the h
     # chain per tile from tfsg (bit-exact: fwd gates from the rounded
@@ -1114,9 +1121,8 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
 def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                 dilations, interpret: bool, embed=None, x=None,
                 b_out=None):
-    """embed=(codes_tb, codes_prev_tb, vocab[, table2]): the first
-    output becomes the stacked-table gradient (2V, R) f32 instead of
-    dx (B, T, R).
+    """embed=(codes2_tb, vocab[, table2]): the first output becomes
+    the stacked-table gradient (2V, R) f32 instead of dx (B, T, R).
 
     hsave=None (all dilations < tile): the kernel rebuilds the h chain
     per tile from tfsg — layer 0's input comes from ``x`` (or the
@@ -1181,12 +1187,12 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                                memory_space=pltpu.VMEM)
         embed_scratch = []
     else:
-        codes_tb, codes_prev_tb, vocab = embed[:3]
-        code_spec = pl.BlockSpec((tile, batch),
+        codes2_tb, vocab = embed[:2]
+        code_spec = pl.BlockSpec((tile, codes2_tb.shape[1]),
                                  lambda b, j: (n_tiles - 1 - j, 0),
                                  memory_space=pltpu.VMEM)
-        embed_args = (codes_tb, codes_prev_tb)
-        embed_specs = [code_spec, code_spec]
+        embed_args = (codes2_tb,)
+        embed_specs = [code_spec]
         dx_shape = jax.ShapeDtypeStruct((2 * vocab, r), jnp.float32)
         dx_spec = vm
         embed_scratch = [pltpu.VMEM((2 * vocab, r), jnp.float32)]
@@ -1203,7 +1209,7 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
             lead_specs = [pl.BlockSpec((1, tile, r), rmap,
                                        memory_space=pltpu.VMEM)]
         else:
-            table2 = embed[3]
+            table2 = embed[2]
             lead_args, lead_specs = (table2,), [vm]
         # residual projection (columns [:r] of w_out) + its bias: the
         # per-layer h update replayed from the saved taps
@@ -1276,7 +1282,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             w_res_ref, b_res_ref, *rest = rest
         dskip_ref, *rest = rest
         if embed_vocab:
-            codes_ref, prev_ref, *rest = rest
+            codes_ref, *rest = rest
         shift_refs = rest[:len(big_layers)]
         (dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
          db_out_ref, *rest) = rest[len(big_layers):]
@@ -1321,8 +1327,8 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             # the reconstructed h matches the forward's to summation
             # order (bit-exact on TPU, f32-jitter in interpret mode)
             if embed_vocab:
-                oh2 = _embed_onehot(codes_ref, prev_ref, b_idx, tile,
-                                    embed_vocab)
+                oh2 = _embed_onehot(codes_ref, b_idx, tile,
+                                    embed_vocab, n_batch)
                 h_rec = _dot(oh2, lead_ref[:, :])
                 if in_dtype != jnp.float32:
                     h_rec = h_rec.astype(in_dtype).astype(jnp.float32)
@@ -1394,8 +1400,8 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             # dx_ref doubles as the (2V, R) stacked-table gradient,
             # accumulated in scratch and emitted once at the end
             if oh2 is None:
-                oh2 = _embed_onehot(codes_ref, prev_ref, b_idx, tile,
-                                    embed_vocab)
+                oh2 = _embed_onehot(codes_ref, b_idx, tile,
+                                    embed_vocab, n_batch)
             dtab_acc[:, :] += _dot_t0(oh2, dh)
         else:
             dx_ref[0] = dh.astype(in_dtype)
@@ -1488,8 +1494,8 @@ fused_stack.defvjp(_fs_fwd, _fs_bwd)
 
 
 # ----------------------------------- public op (embedded front conv)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def fused_stack_embed(codes_tb, codes_prev_tb, table2, ctx, b_fg,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_stack_embed(codes2_tb, table2, ctx, b_fg,
                       w_fg, w_out, b_out, dilations: tuple,
                       compute_dtype, interpret: bool = False):
     """fused_stack with the front causal-conv embedding folded INTO
@@ -1504,41 +1510,45 @@ def fused_stack_embed(codes_tb, codes_prev_tb, table2, ctx, b_fg,
     into the stacked-table gradient without ever writing dx.
 
     Args:
-      codes_tb: (T, B) int32 mu-law codes (time-major).
-      codes_prev_tb: (T, B) int32, row t = codes[t-1]; row 0 must be a
-        sentinel OUTSIDE [0, V) (no past tap at t=0).
+      codes2_tb: (T, kB) int32 packed time-major codes, k >= 2: column
+        b holds codes[b], column B + b holds codes[b] shifted one step
+        right with row 0 a sentinel OUTSIDE [0, V) (no past tap at
+        t=0).  Extra columns (e.g. CE targets riding the same relayout)
+        are ignored here.
       table2: (2V, R) stacked [front_cur; front_past] table, in the
         compute dtype.
       Remaining args as fused_stack.
     Returns:
       skip_sum (B, T, S) in compute_dtype.
     """
+    batch = b_fg.shape[0] // w_fg.shape[0]
     skip, _, _, _ = _fwd_pallas(
         None, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
-        embed=(codes_tb, codes_prev_tb, table2), dtype=compute_dtype)
+        embed=(codes2_tb, table2, batch), dtype=compute_dtype)
     return skip
 
 
-def _fse_fwd(codes_tb, codes_prev_tb, table2, ctx, b_fg, w_fg, w_out,
+def _fse_fwd(codes2_tb, table2, ctx, b_fg, w_fg, w_out,
              b_out, dilations, compute_dtype, interpret):
+    batch = b_fg.shape[0] // w_fg.shape[0]
     skip, hsave, tfsg, tails = _fwd_pallas(
         None, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
-        embed=(codes_tb, codes_prev_tb, table2), dtype=compute_dtype)
+        embed=(codes2_tb, table2, batch), dtype=compute_dtype)
     return skip, (hsave, tfsg, tails, ctx, w_fg, w_out, b_out,
-                  codes_tb, codes_prev_tb, table2)
+                  codes2_tb, table2)
 
 
 def _fse_bwd(dilations, compute_dtype, interpret, saved, dskip):
     (hsave, tfsg, tails, ctx, w_fg, w_out, b_out,
-     codes_tb, codes_prev_tb, table2) = saved
+     codes2_tb, table2) = saved
     vocab = table2.shape[0] // 2
     dtab, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
         hsave, tfsg, tails, ctx, w_fg, w_out, dskip, dilations,
-        interpret, embed=(codes_tb, codes_prev_tb, vocab, table2),
+        interpret, embed=(codes2_tb, vocab, table2),
         b_out=b_out)
     if ctx is None:
         dctx = None
-    return (None, None, dtab.astype(table2.dtype), dctx,
+    return (None, dtab.astype(table2.dtype), dctx,
             db_fg.astype(jnp.float32), dw_fg.astype(w_fg.dtype),
             dw_out.astype(w_out.dtype), db_out.astype(jnp.float32))
 
