@@ -128,6 +128,11 @@ def supports_recompute(t: int, dilations) -> bool:
 # hsave above this budget flips the auto strategy to tails-recompute
 _SAVE_ALL_BUDGET_BYTES = 1 << 30
 
+# >0 enables layer-chunked streaming in the save-mode backward (bytes
+# of hsave+tfsg per grid step); measured slower on v5e — see
+# _bwd_pallas
+_BWD_LAYER_CHUNK_BUDGET = 0
+
 
 def resolve_strategy(strategy: str, x_shape, n_layers: int,
                      dilations, itemsize: int = 2) -> str:
@@ -1144,7 +1149,30 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         offs2.append(total2)
         total2 += max(d, tile)
 
-    def rmap(b, j):
+    # layer-chunked streaming (save mode): stream ck layers of
+    # hsave/tfsg per grid step instead of the whole (~46 MB) per-tile
+    # block.  Hypothesis was that smaller blocks would double-buffer
+    # under the VMEM limit and hide the DMA; MEASURED on v5e
+    # (breakdancing config, 16 MB budget -> 3 chunks) the bwd kernel
+    # instead fully serializes per chunk step (5.85 -> 12.1 ms) — the
+    # monolithic block's partial overlap beats the chunked pipeline.
+    # Disabled (budget 0); interpret-tested, re-evaluate per hardware.
+    layer_chunk = None
+    budget = _BWD_LAYER_CHUNK_BUDGET
+    if save_h and budget:
+        per_layer = tile * 3 * r * tfsg.dtype.itemsize
+        for cand in sorted((d for d in range(1, n_layers)
+                            if n_layers % d == 0), reverse=True):
+            if cand * per_layer <= budget:
+                layer_chunk = cand
+                break
+    n_chunks = n_layers // layer_chunk if layer_chunk else 1
+    grid = (batch, n_tiles, n_chunks) if n_chunks > 1 else \
+        (batch, n_tiles)
+    if n_chunks == 1:
+        layer_chunk = None
+
+    def rmap(b, j, *c):
         return (b, n_tiles - 1 - j, 0)
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1153,25 +1181,30 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                                 memory_space=pltpu.VMEM)
         ctx_arg = ctx
     else:
-        ctx_spec = pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+        ctx_spec = pl.BlockSpec((1, 1), lambda b, j, *c: (0, 0),
                                 memory_space=pltpu.SMEM)
         ctx_arg = jnp.zeros((1, 1), jnp.int32)
 
-    hsave_spec = pl.BlockSpec((n_layers, 1, tile, r),
-                              lambda b, j: (0, b, n_tiles - 1 - j, 0),
+    lck = layer_chunk or n_layers
+
+    def lmap(b, j, *c):
+        lc = (n_chunks - 1 - c[0]) if c else 0
+        return (lc, b, n_tiles - 1 - j, 0)
+
+    hsave_spec = pl.BlockSpec((lck, 1, tile, r), lmap,
                               memory_space=pltpu.VMEM)
-    tfsg_spec = pl.BlockSpec((n_layers, 1, tile, 2 * r),
-                             lambda b, j: (0, b, n_tiles - 1 - j, 0),
+    tfsg_spec = pl.BlockSpec((lck, 1, tile, 2 * r), lmap,
                              memory_space=pltpu.VMEM)
     tails_spec = pl.BlockSpec((1, 1, small_pad, r),
-                              lambda b, j: (b, n_tiles - 1 - j, 0, 0),
+                              lambda b, j, *c: (b, n_tiles - 1 - j,
+                                                0, 0),
                               memory_space=pltpu.VMEM)
     # full previous-tile reloads only for dilations spanning tiles; the
     # d<tile boundary rows come from the forward's ring snapshot
     big_layers = [l for l, d in enumerate(dilations) if d >= tile]
     shift_specs = [
         pl.BlockSpec((1, 1, tile, r),
-                     lambda b, j, l=l, d=dilations[l]: (
+                     lambda b, j, *c, l=l, d=dilations[l]: (
                          l, b,
                          jnp.maximum((n_tiles - 1 - j) - d // tile, 0),
                          0),
@@ -1189,7 +1222,7 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
     else:
         codes2_tb, vocab = embed[:2]
         code_spec = pl.BlockSpec((tile, codes2_tb.shape[1]),
-                                 lambda b, j: (n_tiles - 1 - j, 0),
+                                 lambda b, j, *c: (n_tiles - 1 - j, 0),
                                  memory_space=pltpu.VMEM)
         embed_args = (codes2_tb,)
         embed_specs = [code_spec]
@@ -1217,12 +1250,19 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         res_specs = [vm, vm]
         h_scratch = [pltpu.VMEM((n_layers, tile, r), jnp.float32)]
 
+    carry_scratch = []
+    if n_chunks > 1:
+        carry_scratch.append(pltpu.VMEM((tile, r), jnp.float32))
+        if has_ctx:
+            carry_scratch.append(pltpu.VMEM((tile, r), jnp.float32))
+
     outs = pl.pallas_call(
         _bwd_kernel_padded(tuple(dilations), r, s, has_ctx, tile,
                            n_tiles, batch,
                            in_dtype, tuple(offs2),
-                           embed_vocab=vocab, save_h=save_h),
-        grid=(batch, n_tiles),
+                           embed_vocab=vocab, save_h=save_h,
+                           layer_chunk=layer_chunk),
+        grid=grid,
         in_specs=lead_specs + [tfsg_spec, tails_spec, ctx_spec, vm, vm,
                                *res_specs,
                                pl.BlockSpec((1, tile, s), rmap,
@@ -1247,7 +1287,7 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
             pltpu.VMEM((n_layers, r + s), jnp.float32),
             pltpu.VMEM((n_layers, 2 * r), jnp.float32),
-        ],
+        ] + carry_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
@@ -1259,7 +1299,8 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
 
 def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                        n_batch, in_dtype, ring_offs,
-                       embed_vocab: int = 0, save_h: bool = True):
+                       embed_vocab: int = 0, save_h: bool = True,
+                       layer_chunk=None):
     """_bwd_kernel with explicit (padded) ring offsets.
 
     embed_vocab > 0: the layer-0 input gradient is contracted against
@@ -1269,8 +1310,20 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
     save_h=False: no per-layer hsave input — the h chain is replayed
     per tile (layer 0's input from x/the rebuilt embedding, then
     ``h += gated @ w_res + b_res`` with gated from the saved rounded
-    taps), bit-identical to the forward's residual stream."""
+    taps), bit-identical to the forward's residual stream.
+
+    layer_chunk=ck (save_h only): the grid gains a third dimension
+    over n_layers//ck layer chunks (highest layers first, matching the
+    reverse sweep) so hsave/tfsg stream in ck-layer blocks small
+    enough to double-buffer; dh/dctx carry between chunk steps in VMEM
+    scratch.  The per-layer math and visit order are IDENTICAL to the
+    monolithic kernel."""
     n_layers = len(dilations)
+    ck = layer_chunk or n_layers
+    n_chunks = n_layers // ck
+    chunked = n_chunks > 1
+    assert n_layers % ck == 0
+    assert not chunked or save_h
     tail_offs, _, _ = _split_ring_offsets(dilations, tile)
     big_layers = [l for l, d in enumerate(dilations) if d >= tile]
     shift_slot = {l: i for i, l in enumerate(big_layers)}
@@ -1291,15 +1344,23 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
         if not save_h:
             h_all, *rest = rest
         (dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
-         dbfg_acc) = rest
+         dbfg_acc, *carries) = rest
+        if chunked:
+            dh_carry = carries[0]
+            dctx_carry = carries[1] if has_ctx else None
 
         b_idx = pl.program_id(0)
         rj = pl.program_id(1)
+        cj = pl.program_id(2) if chunked else None
         ti = n_tiles - 1 - rj
         t0 = ti * tile
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
 
-        @pl.when(jnp.logical_and(b_idx == 0, rj == 0))
+        def with_first_chunk(cond):
+            return cond if cj is None else jnp.logical_and(cond, cj == 0)
+
+        @pl.when(with_first_chunk(
+            jnp.logical_and(b_idx == 0, rj == 0)))
         def _():
             dwfg_acc[:, :, :] = jnp.zeros(dwfg_acc.shape, jnp.float32)
             dwout_acc[:, :, :] = jnp.zeros(dwout_acc.shape, jnp.float32)
@@ -1307,15 +1368,13 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             if embed_vocab:
                 dtab_acc[:, :] = jnp.zeros(dtab_acc.shape, jnp.float32)
 
-        @pl.when(rj == 0)
+        @pl.when(with_first_chunk(rj == 0))
         def _():
             dfgp_ring[:, :] = jnp.zeros(dfgp_ring.shape, jnp.float32)
             dbfg_acc[:, :] = jnp.zeros(dbfg_acc.shape, jnp.float32)
 
         ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
-        dh = jnp.zeros((tile, r), jnp.float32)
         dskip = dskip_ref[0].astype(jnp.float32)
-        dctx_acc = jnp.zeros((tile, r), jnp.float32) if has_ctx else None
         ones_col = jnp.ones((tile, 1), jnp.float32)
         w_in = (3 if has_ctx else 2) * r
 
@@ -1341,11 +1400,13 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 h_rec = h_rec + (_dot(gated, w_res_ref[l])
                                  + b_res_ref[pl.ds(l, 1), :])
 
-        for l in reversed(range(n_layers)):
+        def do_layer(l, l_loc, dh, dctx_acc):
             d = dilations[l]
             off = ring_offs[l]
-            h = lead_ref[l, 0].astype(jnp.float32) if save_h \
-                else h_all[l]
+            if save_h:
+                h = lead_ref[l_loc, 0].astype(jnp.float32)
+            else:
+                h = h_all[l]
             if d >= tile:
                 shifted = shift_refs[shift_slot[l]][0, 0].astype(
                     jnp.float32)
@@ -1365,7 +1426,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             parts = [h, shifted] + ([ctx] if has_ctx else []) \
                 + [ones_col]
             hp = jnp.concatenate(parts, axis=1)
-            v = tfsg_ref[l, 0].astype(jnp.float32)
+            v = tfsg_ref[l_loc, 0].astype(jnp.float32)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
             dgated = _dot(dout, w_out_t_ref[l])
@@ -1395,29 +1456,65 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 dfgp_ring[pl.ds(off, tile), :] = dfg_p
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
+            return dh, dctx_acc
 
-        if embed_vocab:
-            # dx_ref doubles as the (2V, R) stacked-table gradient,
-            # accumulated in scratch and emitted once at the end
-            if oh2 is None:
-                oh2 = _embed_onehot(codes_ref, b_idx, tile,
-                                    embed_vocab, n_batch)
-            dtab_acc[:, :] += _dot_t0(oh2, dh)
-        else:
-            dx_ref[0] = dh.astype(in_dtype)
-        if has_ctx:
-            dctx_ref[0] = dctx_acc.astype(in_dtype)
-        else:
-            dctx_ref[0] = jnp.zeros((tile, r), in_dtype)
+        def finish(dh, dctx_acc):
+            nonlocal oh2
+            if embed_vocab:
+                # dx_ref doubles as the (2V, R) stacked-table gradient,
+                # accumulated in scratch and emitted once at the end
+                if oh2 is None:
+                    oh2 = _embed_onehot(codes_ref, b_idx, tile,
+                                        embed_vocab, n_batch)
+                dtab_acc[:, :] += _dot_t0(oh2, dh)
+            else:
+                dx_ref[0] = dh.astype(in_dtype)
+            if has_ctx:
+                dctx_ref[0] = dctx_acc.astype(in_dtype)
+            else:
+                dctx_ref[0] = jnp.zeros((tile, r), in_dtype)
 
-        @pl.when(rj == n_tiles - 1)
+        if not chunked:
+            dh = jnp.zeros((tile, r), jnp.float32)
+            dctx_acc = jnp.zeros((tile, r), jnp.float32) \
+                if has_ctx else None
+            for l in reversed(range(n_layers)):
+                dh, dctx_acc = do_layer(l, l, dh, dctx_acc)
+            finish(dh, dctx_acc)
+        else:
+            for c in range(n_chunks):
+                @pl.when(cj == c)
+                def _(c=c):
+                    lo = n_layers - (c + 1) * ck
+                    if c == 0:
+                        dh = jnp.zeros((tile, r), jnp.float32)
+                        dctx_acc = jnp.zeros((tile, r), jnp.float32) \
+                            if has_ctx else None
+                    else:
+                        dh = dh_carry[:, :]
+                        dctx_acc = dctx_carry[:, :] if has_ctx else None
+                    for i in reversed(range(ck)):
+                        dh, dctx_acc = do_layer(lo + i, i, dh,
+                                                dctx_acc)
+                    if c == n_chunks - 1:
+                        finish(dh, dctx_acc)
+                    else:
+                        dh_carry[:, :] = dh
+                        if has_ctx:
+                            dctx_carry[:, :] = dctx_acc
+
+        def with_last_chunk(cond):
+            return cond if cj is None else \
+                jnp.logical_and(cond, cj == n_chunks - 1)
+
+        @pl.when(with_last_chunk(rj == n_tiles - 1))
         def _():
             for l in range(n_layers):
                 db_fg_ref[pl.ds(l * n_batch + b_idx, 1), :] = \
                     dbfg_acc[pl.ds(l, 1), :]
 
-        @pl.when(jnp.logical_and(b_idx == n_batch - 1,
-                                 rj == n_tiles - 1))
+        @pl.when(with_last_chunk(jnp.logical_and(
+            b_idx == n_batch - 1, rj == n_tiles - 1)))
         def _():
             dw_fg_ref[:, :, :] = dwfg_acc[:, :, :]
             dw_out_ref[:, :, :] = dwout_acc[:, :, :]

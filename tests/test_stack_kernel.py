@@ -190,6 +190,29 @@ def test_stack_replay_strategy_matches_save(dilations, has_ctx):
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_stack_bwd_layer_chunked_matches(monkeypatch):
+    """The layer-chunked backward grid (disabled by default; see
+    _BWD_LAYER_CHUNK_BUDGET) visits the same (tile, layer) sequence as
+    the monolithic kernel and must produce identical gradients."""
+    import movenet_tpu.ops.pallas.stack_kernel as sk
+
+    dilations = (1, 2, 4, 1, 2, 4)
+    x, ctx, b_fg, w_fg, w_out, b_out = _make(dilations, True)
+    args = (x, ctx, b_fg, w_fg, w_out, b_out)
+
+    def loss(*a):
+        return jnp.sum(jnp.sin(fused_stack(
+            *a, tuple(dilations), True, "save")))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    g_mono = jax.grad(loss, argnums=argnums)(*args)
+    monkeypatch.setattr(sk, "_BWD_LAYER_CHUNK_BUDGET", 1 << 20)
+    g_chunk = jax.grad(loss, argnums=argnums)(*args)
+    for a, b_ in zip(g_chunk, g_mono):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_resolve_strategy_rules():
     from movenet_tpu.ops.pallas.stack_kernel import resolve_strategy
 
