@@ -12,10 +12,11 @@ tile, never materializing logits:
              clean:  lse(z) - z[y]) and argmax-match counts are masked
             to the valid region [RF-1, T-1) and accumulated in SMEM-like
             VMEM scalars, emitted once.
-  backward: recomputes y/z/p per tile (remat), applies the analytic
-            dL/dz (parity: p (.) g - p * (p.g), g = softmax(p) - onehot;
-            clean: softmax(z) - onehot), backprops the two matmuls, and
-            accumulates the head weight/bias grads in f32 VMEM scratch.
+  backward: reads the forward's f32 softmax save (p) and recomputes
+            only y per tile, applies the analytic dL/dz (parity:
+            p (.) g - p * (p.g), g = softmax(p) - onehot; clean:
+            p - onehot), backprops the two matmuls, and accumulates
+            the head weight/bias grads in f32 VMEM scratch.
 
 Outputs are (loss_sum, match_count); the caller divides by the valid
 count.  Equivalence with the XLA formulation (values and all grads) is
@@ -269,7 +270,7 @@ def _bwd_kernel_packed(rf: int, t_total: int, parity: bool, tile2: int,
 def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
                 n_tiles: int, n_batch: int, tgt_off: int = 0):
     def kernel(skip_ref, tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               loss_ref, match_ref, acc_ref):
+               loss_ref, match_ref, psave_ref, acc_ref):
         b_idx = pl.program_id(0)
         ti = pl.program_id(1)
         t0 = ti * tile
@@ -292,6 +293,14 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
             w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
         nll = _nll_rows(z, p, onehot, parity, zmax)
         match = _match_rows(z, tgt_col, zmax)
+        # save softmax(z) f32 (EXACT — no rounding of probability
+        # algebra) so the backward skips the z matmul, row max, and
+        # softmax exp entirely; dz needs only this and (parity) one
+        # exp over it
+        if p is None:
+            p = jnp.exp(z - zmax)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+        psave_ref[0] = p
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
         valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
@@ -310,8 +319,8 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
 
 def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
                 n_tiles: int, n_batch: int, in_dtype, tgt_off: int = 0):
-    def kernel(skip_ref, tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               w1t_ref, w2t_ref, dloss_ref,
+    def kernel(skip_ref, tgt_ref, psave_ref, w1_ref, b1_ref, w2_ref,
+               b2_ref, w1t_ref, w2t_ref, dloss_ref,
                dskip_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                dw1_acc, db1_acc, dw2_acc, db2_acc):
         b_idx = pl.program_id(0)
@@ -330,9 +339,13 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         tgt_col = jnp.sum(
             jnp.where(lane == tgt_off + b_idx, tgt_ref[:, :], 0),
             axis=1, keepdims=True)
-        y, z, p, onehot, _zmax = _core(
-            skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
-            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 1)
+        onehot = (col == tgt_col).astype(jnp.float32)
+        # softmax(z) comes from the forward's f32 save: only the first
+        # head matmul (for the leaky masks) is recomputed — no z
+        # matmul, no row max, no softmax exp
+        p = psave_ref[0]
+        y = _dot(_leaky(skip), w1_ref[:, :]) + b1_ref[pl.ds(0, 1), :]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
         valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
@@ -345,7 +358,7 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
             g = q - onehot
             dz = p * g - p * jnp.sum(p * g, axis=-1, keepdims=True)
         else:
-            dz = jax.nn.softmax(z, axis=-1) - onehot
+            dz = p - onehot
         dz = dz * scale                                 # (tile, C)
 
         ly = _leaky(y)
@@ -486,13 +499,14 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
     c = w2.shape[1]
     if tgt_off == 0 and targets_tb.shape[1] == batch and \
             _use_packed(t_total, s, c):
-        return _fwd_pallas_packed(skip_sum, targets_tb, w1, b1, w2, b2,
-                                  rf, parity, interpret)
+        loss, match = _fwd_pallas_packed(skip_sum, targets_tb, w1, b1,
+                                         w2, b2, rf, parity, interpret)
+        return loss, match, None
     tile = _pick_tile(t_total, 1, cap=8000)  # fwd holds few live tensors
     n_tiles = t_total // tile
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    loss, match = pl.pallas_call(
+    loss, match, psave = pl.pallas_call(
         _fwd_kernel(rf, t_total, c, parity, tile, n_tiles, batch,
                     tgt_off),
         grid=(batch, n_tiles),
@@ -507,10 +521,13 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile, c), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch, t_total, c), jnp.float32),
         ),
         scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -518,11 +535,11 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
         interpret=interpret,
     )(skip_sum, targets_tb, w1, b1.reshape(1, -1), w2,
       b2.reshape(1, -1))
-    return loss[0, 0], match[0, 0]
+    return loss[0, 0], match[0, 0], psave
 
 
-def _bwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
-                dloss, interpret, tgt_off: int = 0):
+def _bwd_pallas(skip_sum, targets_tb, psave, w1, b1, w2, b2, rf,
+                parity, dloss, interpret, tgt_off: int = 0):
     batch, t_total, s = skip_sum.shape
     c = w2.shape[1]
     if tgt_off == 0 and targets_tb.shape[1] == batch and \
@@ -542,6 +559,8 @@ def _bwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, targets_tb.shape[1]),
                          lambda b, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             vm, vm, vm, vm, vm, vm,
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -567,7 +586,7 @@ def _bwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(skip_sum, targets_tb, w1, b1.reshape(1, -1), w2,
+    )(skip_sum, targets_tb, psave, w1, b1.reshape(1, -1), w2,
       b2.reshape(1, -1), jnp.swapaxes(w1, 0, 1), jnp.swapaxes(w2, 0, 1),
       jnp.asarray([dloss], jnp.float32))
     return dskip, dw1, db1.reshape(-1), dw2, db2.reshape(-1)
@@ -587,22 +606,24 @@ def fused_head_loss(skip_sum, targets_tb, w1, b1, w2, b2,
         so the s32 relayout happens once.
       w1/b1, w2/b2: head parameters (S,C)/(C,), (C,C)/(C,).
     """
-    return _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf,
-                       parity, interpret, tgt_off)
+    loss, match, _ = _fwd_pallas(skip_sum, targets_tb, w1, b1, w2,
+                                 b2, rf, parity, interpret, tgt_off)
+    return loss, match
 
 
 def _fhl_fwd(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
              interpret, tgt_off):
-    out = _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf, parity,
-                      interpret, tgt_off)
-    return out, (skip_sum, targets_tb, w1, b1, w2, b2)
+    loss, match, psave = _fwd_pallas(skip_sum, targets_tb, w1, b1, w2,
+                                     b2, rf, parity, interpret,
+                                     tgt_off)
+    return (loss, match), (skip_sum, targets_tb, psave, w1, b1, w2, b2)
 
 
 def _fhl_bwd(rf, parity, interpret, tgt_off, saved, grads):
-    skip_sum, targets_tb, w1, b1, w2, b2 = saved
+    skip_sum, targets_tb, psave, w1, b1, w2, b2 = saved
     dloss, _ = grads  # match count is not differentiated
     dskip, dw1, db1, dw2, db2 = _bwd_pallas(
-        skip_sum, targets_tb, w1, b1, w2, b2, rf, parity, dloss,
+        skip_sum, targets_tb, psave, w1, b1, w2, b2, rf, parity, dloss,
         interpret, tgt_off)
     return (dskip, None, dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype))
