@@ -43,6 +43,12 @@ class ModelConfig:
     # (dataset.py:117-119 "use the class label as global context").
     global_classes: int = 0
 
+    # Video (local) conditioning capability: when False the per-block
+    # context convs are never created (no dead params / optimizer state
+    # / weight decay for context-free models).  The trainer clears this
+    # automatically when --use_video is off.
+    use_context: bool = True
+
     # --- behavior flags -------------------------------------------------
     # The reference's forward returns softmax probabilities by default and
     # computes cross-entropy on those probabilities (wavenet.py:189-191,
@@ -125,6 +131,10 @@ class TrainingConfig:
     # route the training forward/backward through the Pallas fused
     # gated-block kernels (requires sequence length % 128 == 0)
     fused_blocks: bool = False
+    # run the fused kernels through the Pallas INTERPRETER on non-TPU
+    # backends (multi-chip dryruns / CPU equivalence tests of the
+    # fused+shard_map composition); no effect on TPU
+    fused_interpret: bool = False
     gradient_clipping: Optional[float] = 0.0
     # run the optimizer over one concatenated parameter vector (same
     # math, ~10x fewer device ops; see train/optim.py:flatten_transform)

@@ -59,14 +59,15 @@ class _Net(NamedTuple):
 def _extract(model: WaveNet, variables) -> _Net:
     p = variables["params"] if "params" in variables else variables
     has_glob = "blocks_global_kernel" in p
+    has_ctx = "blocks_ctx_kernel" in p
     layers = []
     for i, d in enumerate(model.dilations):
         layers.append(_Layer(
             dilation=d,
             w_cur=p["blocks_w_cur"][i],
             w_past=p["blocks_w_past"][i],
-            ctx_kernel=p["blocks_ctx_kernel"][i],
-            ctx_bias=p["blocks_ctx_bias"][i],
+            ctx_kernel=p["blocks_ctx_kernel"][i] if has_ctx else None,
+            ctx_bias=p["blocks_ctx_bias"][i] if has_ctx else None,
             glob_kernel=(p["blocks_global_kernel"][i]
                          if has_glob else None),
             res_kernel=p["blocks_res_kernel"][i],

@@ -150,6 +150,11 @@ class WaveNet(nn.Module):
     max_audio_frames: int = MAX_AUDIO_FRAMES
     max_video_frames: int = MAX_VIDEO_FRAMES
     global_classes: int = 0
+    # video (local) conditioning: when False, the per-block context
+    # convs are not created at all — a context-free model otherwise
+    # carries L*R*2R dead parameters that still receive optimizer
+    # state and (AdamW) weight decay
+    use_context: bool = True
 
     @property
     def dilations(self):
@@ -185,13 +190,18 @@ class WaveNet(nn.Module):
         self.blocks_w_past = self.param(
             "blocks_w_past", binit, (n_layers, r, 2 * r), jnp.float32)
         # context filter+gate 1x1 convs (with bias, like the reference's
-        # modules.py:58-63); created unconditionally — unused (zero-grad)
-        # when no video conditioning is given
-        self.blocks_ctx_kernel = self.param(
-            "blocks_ctx_kernel", binit, (n_layers, r, 2 * r),
-            jnp.float32)
-        self.blocks_ctx_bias = self.param(
-            "blocks_ctx_bias", zeros, (n_layers, 2 * r), jnp.float32)
+        # modules.py:58-63); gated on use_context (mirrors the
+        # global_classes gate below)
+        if self.use_context:
+            self.blocks_ctx_kernel = self.param(
+                "blocks_ctx_kernel", binit, (n_layers, r, 2 * r),
+                jnp.float32)
+            self.blocks_ctx_bias = self.param(
+                "blocks_ctx_bias", zeros, (n_layers, 2 * r),
+                jnp.float32)
+        else:
+            self.blocks_ctx_kernel = None
+            self.blocks_ctx_bias = None
         self.blocks_res_kernel = self.param(
             "blocks_res_kernel", binit, (n_layers, r, r), jnp.float32)
         self.blocks_res_bias = self.param(
@@ -273,8 +283,16 @@ class WaveNet(nn.Module):
         gk = None
         if global_vec is not None and self.global_classes:
             gk = self.blocks_global_kernel[l]
+        ck = cb = None
+        if context is not None:
+            if self.blocks_ctx_kernel is None:
+                raise ValueError(
+                    "model was built with use_context=False but a "
+                    "video context was provided")
+            ck = self.blocks_ctx_kernel[l]
+            cb = self.blocks_ctx_bias[l]
         args = (self.blocks_w_cur[l], self.blocks_w_past[l],
-                self.blocks_ctx_kernel[l], self.blocks_ctx_bias[l], gk,
+                ck, cb, gk,
                 self.blocks_res_kernel[l], self.blocks_res_bias[l],
                 self.blocks_skip_kernel[l], self.blocks_skip_bias[l])
 
@@ -446,13 +464,14 @@ def block_param_view(params, i: int) -> dict:
     out = {
         "w_cur": params["blocks_w_cur"][i],
         "w_past": params["blocks_w_past"][i],
-        "context_proj": {"kernel": params["blocks_ctx_kernel"][i],
-                         "bias": params["blocks_ctx_bias"][i]},
         "residual_proj": {"kernel": params["blocks_res_kernel"][i],
                           "bias": params["blocks_res_bias"][i]},
         "skip_proj": {"kernel": params["blocks_skip_kernel"][i],
                       "bias": params["blocks_skip_bias"][i]},
     }
+    if "blocks_ctx_kernel" in params:
+        out["context_proj"] = {"kernel": params["blocks_ctx_kernel"][i],
+                               "bias": params["blocks_ctx_bias"][i]}
     if "blocks_global_kernel" in params:
         out["global_proj"] = {
             "kernel": params["blocks_global_kernel"][i]}
@@ -478,4 +497,5 @@ def make_wavenet(model_config, compute_dtype=None) -> WaveNet:
         max_audio_frames=model_config.max_audio_frames,
         max_video_frames=model_config.max_video_frames,
         global_classes=model_config.global_classes,
+        use_context=getattr(model_config, "use_context", True),
     )

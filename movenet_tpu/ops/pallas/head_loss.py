@@ -268,9 +268,12 @@ def _bwd_kernel_packed(rf: int, t_total: int, parity: bool, tile2: int,
 
 
 def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
-                n_tiles: int, n_batch: int, tgt_off: int = 0):
+                n_tiles: int, n_batch: int, tgt_off: int = 0,
+                save_p: bool = True):
     def kernel(skip_ref, tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               loss_ref, match_ref, psave_ref, acc_ref):
+               loss_ref, match_ref, *rest):
+        psave_ref = rest[0] if save_p else None
+        acc_ref = rest[-1]
         b_idx = pl.program_id(0)
         ti = pl.program_id(1)
         t0 = ti * tile
@@ -293,14 +296,15 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
             w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
         nll = _nll_rows(z, p, onehot, parity, zmax)
         match = _match_rows(z, tgt_col, zmax)
-        # save softmax(z) f32 (EXACT — no rounding of probability
-        # algebra) so the backward skips the z matmul, row max, and
-        # softmax exp entirely; dz needs only this and (parity) one
-        # exp over it
-        if p is None:
-            p = jnp.exp(z - zmax)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-        psave_ref[0] = p
+        if save_p:
+            # save softmax(z) f32 (EXACT — no rounding of probability
+            # algebra) so the backward skips the z matmul, row max, and
+            # softmax exp entirely; dz needs only this and (parity) one
+            # exp over it
+            if p is None:
+                p = jnp.exp(z - zmax)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+            psave_ref[0] = p
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
         valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
@@ -494,7 +498,11 @@ def _bwd_pallas_packed(skip_sum, targets_tb, w1, b1, w2, b2, rf,
 
 
 def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
-                parity: bool, interpret: bool, tgt_off: int = 0):
+                parity: bool, interpret: bool, tgt_off: int = 0,
+                save_p: bool = True):
+    """``save_p=False`` (the primal / eval call) skips the (B, T, C)
+    f32 softmax save entirely — it is only consumed by the VJP backward,
+    and materializing it costs a pure ~B*T*C*4-byte HBM write."""
     batch, t_total, s = skip_sum.shape
     c = w2.shape[1]
     if tgt_off == 0 and targets_tb.shape[1] == batch and \
@@ -506,9 +514,19 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
     n_tiles = t_total // tile
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    loss, match, psave = pl.pallas_call(
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_specs = [sm, sm]
+    out_shape = [jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    if save_p:
+        out_specs.append(pl.BlockSpec((1, tile, c),
+                                      lambda b, i: (b, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((batch, t_total, c), jnp.float32))
+    out = pl.pallas_call(
         _fwd_kernel(rf, t_total, c, parity, tile, n_tiles, batch,
-                    tgt_off),
+                    tgt_off, save_p),
         grid=(batch, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, s), lambda b, i: (b, i, 0),
@@ -518,23 +536,16 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
                          memory_space=pltpu.VMEM),
             vm, vm, vm, vm,
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile, c), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((batch, t_total, c), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.SMEM((1, 2), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(skip_sum, targets_tb, w1, b1.reshape(1, -1), w2,
       b2.reshape(1, -1))
+    loss, match = out[0], out[1]
+    psave = out[2] if save_p else None
     return loss[0, 0], match[0, 0], psave
 
 
@@ -607,7 +618,8 @@ def fused_head_loss(skip_sum, targets_tb, w1, b1, w2, b2,
       w1/b1, w2/b2: head parameters (S,C)/(C,), (C,C)/(C,).
     """
     loss, match, _ = _fwd_pallas(skip_sum, targets_tb, w1, b1, w2,
-                                 b2, rf, parity, interpret, tgt_off)
+                                 b2, rf, parity, interpret, tgt_off,
+                                 save_p=False)
     return loss, match
 
 

@@ -89,8 +89,13 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
 def make_parallel_train_step(model, config, mesh: Mesh,
                              has_video: bool,
                              shard_time: Optional[bool] = None):
-    """pjit the functional train step with explicit in/out shardings."""
-    step = make_train_step(model, config)
+    """pjit the functional train step with explicit in/out shardings.
+
+    The mesh is passed INTO the step builder: the fused Pallas path is
+    shard_map'd over the data axis there (GSPMD cannot partition Mosaic
+    custom calls), while the XLA path relies on these pjit shardings.
+    """
+    step = make_train_step(model, config, mesh)
     rep = replicate(mesh)
     spec = batch_sharding(mesh, config.accumulation_steps > 1, shard_time)
     codes_sh = NamedSharding(mesh, spec.codes)
@@ -116,7 +121,7 @@ def make_parallel_scan_train_step(model, config, mesh: Mesh,
     """
     from movenet_tpu.train.loop import make_scan_train_step
 
-    step = make_scan_train_step(model, config, n_steps)
+    step = make_scan_train_step(model, config, n_steps, mesh)
     rep = replicate(mesh)
     leading = 1 + (config.accumulation_steps > 1)
     spec = batch_sharding(mesh, leading, shard_time)
@@ -133,7 +138,7 @@ def make_parallel_scan_train_step(model, config, mesh: Mesh,
 
 def make_parallel_eval_step(model, config, mesh: Mesh, has_video: bool,
                             shard_time: Optional[bool] = None):
-    step = make_eval_step(model, config)
+    step = make_eval_step(model, config, mesh)
     rep = replicate(mesh)
     spec = batch_sharding(mesh, False, shard_time)
     codes_sh = NamedSharding(mesh, spec.codes)

@@ -104,6 +104,11 @@ class GenerationService:
             pad = np.full((prompt.shape[0], self.rf - prompt.shape[1]),
                           self.silent_code, np.int32)
             prompt = np.concatenate([pad, prompt], axis=1)
+        elif prompt.shape[1] > self.rf:
+            # keep the MOST RECENT rf codes: the samplers condition on
+            # prompt[:, :rf], so without this slice a long prompt would
+            # be conditioned on its oldest history instead of its newest
+            prompt = prompt[:, -self.rf:]
         n_samples = int(n_samples)
         if n_samples <= self.rf:
             raise ValueError(

@@ -22,6 +22,42 @@ import orbax.checkpoint as ocp
 logger = logging.getLogger(__name__)
 
 
+def migrate_legacy_block_params(params: dict) -> dict:
+    """Convert a pre-stacking parameter tree (per-block ``block_{i}``
+    submodules with w_cur / context_proj / residual_proj / skip_proj /
+    global_proj leaves) to the current stacked ``blocks_*`` (L, ...)
+    layout.  Returns ``params`` unchanged when it is already stacked."""
+    if "block_0" not in params:
+        return params
+    import numpy as np
+
+    out = {k: v for k, v in params.items()
+           if not (k.startswith("block_") and k[6:].isdigit())}
+    blocks = []
+    while f"block_{len(blocks)}" in params:
+        blocks.append(params[f"block_{len(blocks)}"])
+
+    def stack(get):
+        return np.stack([np.asarray(get(b)) for b in blocks])
+
+    out["blocks_w_cur"] = stack(lambda b: b["w_cur"])
+    out["blocks_w_past"] = stack(lambda b: b["w_past"])
+    if "context_proj" in blocks[0]:
+        out["blocks_ctx_kernel"] = stack(
+            lambda b: b["context_proj"]["kernel"])
+        out["blocks_ctx_bias"] = stack(
+            lambda b: b["context_proj"]["bias"])
+    out["blocks_res_kernel"] = stack(
+        lambda b: b["residual_proj"]["kernel"])
+    out["blocks_res_bias"] = stack(lambda b: b["residual_proj"]["bias"])
+    out["blocks_skip_kernel"] = stack(lambda b: b["skip_proj"]["kernel"])
+    out["blocks_skip_bias"] = stack(lambda b: b["skip_proj"]["bias"])
+    if "global_proj" in blocks[0]:
+        out["blocks_global_kernel"] = stack(
+            lambda b: b["global_proj"]["kernel"])
+    return out
+
+
 class CheckpointManager:
     """Thin orbax wrapper bound to a run directory."""
 
@@ -58,8 +94,31 @@ class CheckpointManager:
             "step": state.step,
         }
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract))
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        except Exception:
+            # pre-round-2 checkpoints store per-block submodules
+            # (block_{i}/w_cur, ...) — the template mismatch throws.
+            # Restore as-saved, stack the block params into the current
+            # layout, and reinitialize the optimizer state (its raveled
+            # leaf ORDER followed the old tree and cannot be remapped
+            # safely); params + step round-trip exactly.
+            raw = self._mgr.restore(step)
+            if not (isinstance(raw, dict) and "block_0" in raw.get(
+                    "params", {})):
+                raise
+            logger.warning(
+                "checkpoint at step %s uses the legacy per-block "
+                "parameter layout: migrating params to the stacked "
+                "layout and RESETTING optimizer state", step)
+            # tree.map against the template validates the migrated
+            # structure and keeps the template's leaf dtypes/placement
+            params = jax.tree.map(
+                lambda t, x: jax.numpy.asarray(x, t.dtype),
+                state.params,
+                migrate_legacy_block_params(raw["params"]))
+            return state.replace(params=params, step=int(raw["step"]))
         return state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

@@ -71,7 +71,7 @@ def create_train_state(model: WaveNet, config, tx,
 
 
 def _loss_and_metrics(model: WaveNet, parity: bool,
-                      fused: bool = False):
+                      fused: bool = False, interpret: bool = False):
     rf = model.receptive_fields
 
     def fn(params, batch: Batch):
@@ -82,7 +82,8 @@ def _loss_and_metrics(model: WaveNet, parity: bool,
             from movenet_tpu.models.fused import fused_train_loss
 
             return fused_train_loss(model, params, batch.codes,
-                                    batch.video, labels, parity=parity)
+                                    batch.video, labels, parity=parity,
+                                    interpret=interpret)
         logits = model.apply(
             {"params": params}, batch.codes, batch.video, labels,
             method=WaveNet.train_logits)
@@ -109,21 +110,97 @@ def _loss_and_metrics(model: WaveNet, parity: bool,
 
 def _use_fused(config) -> bool:
     """Fused Pallas blocks are TPU kernels; fall back to the XLA path on
-    other backends (tests run on CPU)."""
-    return bool(getattr(config, "fused_blocks", False)) and \
-        jax.default_backend() == "tpu"
+    other backends (tests run on CPU) unless ``fused_interpret`` forces
+    the kernels through the Pallas interpreter (multi-chip dryruns and
+    CPU equivalence tests of the fused+mesh composition)."""
+    if not bool(getattr(config, "fused_blocks", False)):
+        return False
+    return jax.default_backend() == "tpu" or \
+        bool(getattr(config, "fused_interpret", False))
 
 
-def make_train_step(model: WaveNet, config):
+def _fused_interpret(config) -> bool:
+    return bool(getattr(config, "fused_interpret", False)) and \
+        jax.default_backend() != "tpu"
+
+
+def _shard_map_loss(loss_fn, mesh):
+    """Run a (params, batch) -> (loss, acc) loss under ``jax.shard_map``
+    over the mesh's data axis.
+
+    GSPMD cannot partition an opaque Mosaic ``tpu_custom_call``, so the
+    fused Pallas path cannot rely on pjit propagating the batch sharding
+    through the kernels (the XLA path can).  shard_map hands every
+    device its LOCAL batch shard — each runs its own kernel invocation —
+    and the pmean here plus shard_map's AD transpose for the replicated
+    params (a psum of per-shard param cotangents over ``data``)
+    reproduce exactly the DP loss/gradient math the unfused path gets
+    from GSPMD.  Equal shard sizes make mean-of-means the global mean.
+    The reference analogue is DDP wrapping the whole model, kernels
+    included (reference trainer.py:226-235).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from movenet_tpu.parallel.mesh import DATA_AXIS
+
+    def body(params, b: Batch):
+        loss, acc = loss_fn(params, b)
+        return (jax.lax.pmean(loss, DATA_AXIS),
+                jax.lax.pmean(acc, DATA_AXIS))
+
+    def wrapped(params, batch: Batch):
+        lead = (None,) * (batch.codes.ndim - 2)
+        specs = Batch(
+            codes=P(*lead, DATA_AXIS, None),
+            video=(None if batch.video is None
+                   else P(*lead, DATA_AXIS, None, None, None, None)),
+            labels=(None if batch.labels is None
+                    else P(*lead, DATA_AXIS)),
+        )
+        # check_vma=False: pallas_call outputs don't declare varying-
+        # mesh-axes metadata; correctness of the psum/transpose wiring
+        # is pinned numerically against the XLA path
+        # (tests/test_parallel.py, __graft_entry__._dryrun_fused_mesh,
+        # bench.py check)
+        return jax.shard_map(body, mesh=mesh, in_specs=(P(), specs),
+                             out_specs=(P(), P()),
+                             check_vma=False)(params, batch)
+
+    return wrapped
+
+
+def _build_loss(model: WaveNet, config, mesh=None):
+    """Loss builder shared by train/eval: resolves the fused-vs-XLA path
+    against the mesh (fused kernels are batch-parallel via shard_map;
+    seq>1 sharding stays on the XLA path, whose causal-shift halo
+    exchanges GSPMD already handles)."""
+    parity = config.model_config.parity_softmax_output
+    fused = _use_fused(config)
+    if mesh is not None and fused:
+        from movenet_tpu.parallel.mesh import SEQ_AXIS
+
+        if dict(mesh.shape).get(SEQ_AXIS, 1) > 1:
+            fused = False
+    loss_fn = _loss_and_metrics(model, parity, fused=fused,
+                                interpret=_fused_interpret(config))
+    if mesh is not None and fused:
+        loss_fn = _shard_map_loss(loss_fn, mesh)
+    return loss_fn
+
+
+def make_train_step(model: WaveNet, config, mesh=None):
     """Build the jittable train step.
 
     accumulation_steps == 1: batch is (B, ...).
     accumulation_steps  > 1: batch is (A, B, ...); gradients are averaged
     over the A microbatches before the single optimizer update.
+
+    ``mesh``: required for the fused Pallas path on a >1-device data
+    mesh (see _shard_map_loss); the XLA path ignores it (pjit shardings
+    are applied by the caller, movenet_tpu.parallel.sharding).
     """
-    parity = config.model_config.parity_softmax_output
     accum = config.accumulation_steps
-    loss_fn = _loss_and_metrics(model, parity, fused=_use_fused(config))
+    loss_fn = _build_loss(model, config, mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def train_step(state: TrainState, batch: Batch):
@@ -195,31 +272,31 @@ def make_train_step(model: WaveNet, config):
     return train_step
 
 
-def make_scan_train_step(model: WaveNet, config, n_steps: int):
+def make_scan_train_step(model: WaveNet, config, n_steps: int,
+                         mesh=None):
     """Run ``n_steps`` optimizer steps in ONE jitted call via lax.scan.
 
     Dispatch through a remote/tunneled PJRT backend costs ~1 ms per
     call; scanning N steps inside one executable amortizes it N-fold
     (the standard TPU pattern for host-dispatch-bound loops).  The
     returned function takes batches stacked on a leading (N, ...) axis
-    and returns the LAST step's metrics (per-step logging granularity
-    is traded away — pair with a matching metric cadence).
+    and returns EVERY scanned step's metrics stacked on a leading
+    (n_steps,) axis — per-step logging fidelity is preserved (the
+    scanned loss curve is identical to n_steps individual calls).
     """
-    step = make_train_step(model, config)
+    step = make_train_step(model, config, mesh)
 
     def multi_step(state: TrainState, batches: Batch):
         def body(s, b):
             s, m = step(s, b)
             return s, m
-        state, ms = jax.lax.scan(body, state, batches, length=n_steps)
-        return state, jax.tree.map(lambda x: x[-1], ms)
+        return jax.lax.scan(body, state, batches, length=n_steps)
 
     return multi_step
 
 
-def make_eval_step(model: WaveNet, config):
-    parity = config.model_config.parity_softmax_output
-    loss_fn = _loss_and_metrics(model, parity, fused=_use_fused(config))
+def make_eval_step(model: WaveNet, config, mesh=None):
+    loss_fn = _build_loss(model, config, mesh)
 
     def eval_step(state: TrainState, batch: Batch):
         loss, acc = loss_fn(state.params, batch)

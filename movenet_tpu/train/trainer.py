@@ -225,6 +225,9 @@ def train_model(
     if config.n_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, config.n_steps_per_epoch)
 
+    # a run without video never feeds context: drop the per-block
+    # context convs so they don't carry dead optimizer state/decay
+    mc.use_context = mc.use_context and config.use_video
     if mc.global_classes == -1:
         # auto: one class per dataset category (the reference's planned
         # "dance-style" global conditioning, wavenet.py:73)
@@ -293,7 +296,6 @@ def train_model(
             # adds and only materialize every log_every steps
             metric_sums = None
             n_steps = 0
-            n_calls = 0
             t_window = time.perf_counter()
             window_start = 0
             last_log = 0
@@ -306,26 +308,42 @@ def train_model(
                 if scan_step is not None and \
                         batch.codes.ndim == base_ndim + 1:
                     # full chunk: scan_n optimizer steps in one call;
-                    # metrics sample the LAST scanned step
+                    # metrics come back per-step, stacked (scan_n,)
                     state, metrics = scan_step(state, batch)
                     n_steps += scan_n
+                    call_sums = jax.tree.map(lambda x: x.sum(0), metrics)
                 else:
                     state, metrics = train_step(state, batch)
                     n_steps += 1
-                n_calls += 1
-                metric_sums = metrics if metric_sums is None else \
-                    jax.tree.map(lambda a, b: a + b, metric_sums, metrics)
+                    call_sums = metrics
+                # per-STEP sums (scan chunks contribute scan_n steps):
+                # the epoch mean below divides by n_steps, so scanned
+                # and plain calls weigh identically per optimizer step
+                metric_sums = call_sums if metric_sums is None else \
+                    jax.tree.map(lambda a, b: a + b, metric_sums,
+                                 call_sums)
                 if n_steps - last_log >= log_every or \
                         n_steps >= steps_per_epoch:
                     last_log = n_steps
-                    vals = {k: float(v) for k, v in metrics.items()}
+                    # a scan chunk carries every per-step value: log each
+                    # at its true step index (identical curve to per-step
+                    # calls); float() only happens at log points
+                    host = {k: np.atleast_1d(np.asarray(v))
+                            for k, v in jax.device_get(metrics).items()}
+                    n_in_call = len(next(iter(host.values())))
+                    end_step = int(state.step)
                     now = time.perf_counter()
-                    vals["steps_per_sec"] = ((n_steps - window_start)
-                                             / max(now - t_window, 1e-9))
+                    sps = ((n_steps - window_start)
+                           / max(now - t_window, 1e-9))
                     t_window, window_start = now, n_steps
-                    writer.scalars("train", vals, int(state.step))
+                    for i in range(n_in_call):
+                        vals = {k: float(v[i]) for k, v in host.items()}
+                        if i == n_in_call - 1:
+                            vals["steps_per_sec"] = sps
+                        writer.scalars("train", vals,
+                                       end_step - n_in_call + 1 + i)
             train_mean = {} if metric_sums is None else {
-                k: float(v) / n_calls for k, v in metric_sums.items()}
+                k: float(v) / n_steps for k, v in metric_sums.items()}
 
             if guard.requested:
                 if jax.process_index() == 0:

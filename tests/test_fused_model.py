@@ -107,5 +107,13 @@ def test_fused_train_loss_matches_unfused(video, merge_head, rng_np):
         a, b = np.asarray(a), np.asarray(b)
         scale = float(np.max(np.abs(b))) + 1e-12
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-2 * scale)
+        # ...but a per-element scale gate is blind to SYSTEMATIC bias
+        # (the packed-head episode: ~1e-3 relative gradient offsets
+        # that pass one-step checks yet diverge training).  Elementwise
+        # jitter is zero-mean, so the per-leaf MEAN of the difference
+        # must sit far below the per-element tolerance.
+        bias = abs(float(np.mean(a - b)))
+        assert bias <= 2e-4 * scale + 1e-10, \
+            f"systematic gradient bias {bias:.3e} vs scale {scale:.3e}"
 
     jax.tree.map(close, gf, gu)

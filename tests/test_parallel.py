@@ -128,8 +128,10 @@ def test_scan_step_matches_sequential():
         pstep = make_parallel_train_step(model, cfg, mesh,
                                          has_video=False)
         s_seq = state
+        seq_losses = []
         for b in batches:
             s_seq, m_seq = pstep(s_seq, shard_batch(mesh, b))
+            seq_losses.append(float(m_seq["loss"]))
 
         sstep = make_parallel_scan_train_step(model, cfg, mesh,
                                               has_video=False, n_steps=3)
@@ -137,13 +139,74 @@ def test_scan_step_matches_sequential():
         s_scan, m_scan = sstep(state, shard_batch(mesh, stacked))
 
     assert int(s_scan.step) == int(s_seq.step) == 3
-    # scan metrics report the LAST step
-    np.testing.assert_allclose(float(m_scan["loss"]),
-                               float(m_seq["loss"]), rtol=1e-5)
+    # scan metrics are PER-STEP (n_steps,) vectors: the scanned loss
+    # curve must equal the sequential per-step curve exactly
+    assert np.asarray(m_scan["loss"]).shape == (3,)
+    np.testing.assert_allclose(np.asarray(m_scan["loss"]),
+                               np.asarray(seq_losses), rtol=1e-5)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         s_scan.params, s_seq.params)
+
+
+def test_fused_shard_map_matches_xla_on_mesh():
+    """The fused Pallas train step (interpret-lowered) shard_map'd over
+    a 4-device data mesh matches the unfused XLA step under identical
+    pjit shardings: same loss, same grad_norm, same updated params.
+    This is the composition experiment 03 ships (--fused_blocks with a
+    multi-device mesh) — GSPMD cannot partition Mosaic custom calls, so
+    the data-parallel wiring comes from jax.shard_map in train.loop."""
+    import dataclasses
+
+    # T % 128 == 0 for the fused kernels
+    model, cfg, state, batch = _setup(batch=4, t=256, mesh_data=4)
+    fused_cfg = dataclasses.replace(cfg, fused_blocks=True,
+                                    fused_interpret=True)
+
+    mesh = create_mesh(MeshConfig(data=4, seq=1),
+                       devices=jax.devices()[:4])
+    with mesh:
+        xla_step = make_parallel_train_step(model, cfg, mesh,
+                                            has_video=False)
+        s_x, m_x = xla_step(state, shard_batch(mesh, batch))
+        fused_step = make_parallel_train_step(model, fused_cfg, mesh,
+                                              has_video=False)
+        s_f, m_f = fused_step(state, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_f["grad_norm"]),
+                               float(m_x["grad_norm"]), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s_f.params, s_x.params)
+
+
+def test_fused_shard_map_single_device_mesh():
+    """The shard_map wrapper must also lower on a 1-device mesh (the
+    real-chip case: bench runs the fused step under a 1-device mesh to
+    exercise the Mosaic lowering inside shard_map)."""
+    import dataclasses
+
+    model, cfg, state, batch = _setup(batch=2, t=256, mesh_data=1)
+    fused_cfg = dataclasses.replace(cfg, fused_blocks=True,
+                                    fused_interpret=True)
+    mesh = create_mesh(MeshConfig(data=1, seq=1),
+                       devices=jax.devices()[:1])
+    plain = jax.jit(make_train_step(model, fused_cfg))
+    s_p, m_p = plain(state, batch)
+    with mesh:
+        step = make_parallel_train_step(model, fused_cfg, mesh,
+                                        has_video=False)
+        s_m, m_m = step(state, shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(m_m["loss"]), float(m_p["loss"]),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+        s_m.params, s_p.params)
 
 
 def test_dp_with_video_and_accumulation():

@@ -148,3 +148,61 @@ def test_checkpoint_roundtrip(tmp_path):
     s_b, m_b = step_fn(restored, Batch(codes=codes))
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                rtol=1e-6)
+
+
+def test_legacy_checkpoint_migration(tmp_path):
+    """A pre-round-2 checkpoint (per-block block_{i} submodules) must
+    restore into the current stacked layout: params bit-identical,
+    step preserved, optimizer state reinitialized with a warning."""
+    import orbax.checkpoint as ocp
+
+    from movenet_tpu.models.wavenet import block_param_view
+    from movenet_tpu.train.checkpoint import (
+        CheckpointManager,
+        migrate_legacy_block_params,
+    )
+
+    config = _cfg()
+    model = make_wavenet(config.model_config)
+    codes = _sine64(256)
+    tx = make_optimizer(config)
+    state = create_train_state(model, config, tx, jax.random.PRNGKey(0),
+                               Batch(codes=codes))
+    step_fn = jax.jit(make_train_step(model, config))
+    state, _ = step_fn(state, Batch(codes=codes))
+
+    # write a checkpoint in the OLD layout (block_{i} submodules), the
+    # exact inverse of block_param_view over the trained params
+    legacy = jax.tree.map(
+        np.asarray, {k: v for k, v in state.params.items()
+                     if not k.startswith("blocks_")})
+    n_layers = state.params["blocks_w_cur"].shape[0]
+    for i in range(n_layers):
+        legacy[f"block_{i}"] = jax.tree.map(
+            np.asarray, block_param_view(state.params, i))
+    ckpt_dir = tmp_path / "legacy_run" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    mgr = ocp.CheckpointManager(ckpt_dir)
+    mgr.save(7, args=ocp.args.StandardSave(
+        {"params": legacy,
+         "opt_state": {"legacy": np.zeros(3, np.float32)},
+         "step": np.asarray(int(state.step))}))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    fresh = create_train_state(model, config, tx, jax.random.PRNGKey(9),
+                               Batch(codes=codes))
+    restored = CheckpointManager(tmp_path / "legacy_run").restore(fresh)
+    assert int(restored.step) == int(state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored.params, state.params)
+
+    # the pure converter round-trips too
+    migrated = migrate_legacy_block_params(legacy)
+    assert "block_0" not in migrated
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        migrated, jax.tree.map(np.asarray, dict(state.params)))
