@@ -64,6 +64,29 @@ def _dot_t0(a, b):
         preferred_element_type=jnp.float32)
 
 
+def _mdot(a, b, dt):
+    """Matmul with OPERANDS in the model's compute dtype, f32 accum.
+
+    Mosaic lowers an f32 x f32 dot as a multi-pass bf16 decomposition —
+    measured 1.76x slower than bf16 operands at the trunk's (4000, 192)
+    x (192, 128) shape (scripts/probe_mxu_dtype.py, v5e).  Casting the
+    operands to the compute dtype runs the MXU single-pass AND matches
+    the XLA path's semantics exactly: the unfused model computes every
+    matmul in compute_dtype (wavenet.py dense()).  dt=float32 is the
+    identity, so parity-mode models and the f32 equivalence tests are
+    bit-unchanged.  The in-kernel astype is fused into the MXU feed
+    (bf16-store vs f32-store+cast measured equal in the probe)."""
+    return jnp.dot(a.astype(dt), b.astype(dt),
+                   preferred_element_type=jnp.float32)
+
+
+def _mdot_t0(a, b, dt):
+    """_dot_t0 with operands in the compute dtype (see _mdot)."""
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 # --------------------------------------------------------------- forward
 def _fwd_kernel(d: int, r: int, has_ctx: bool, out_dtype, tile: int):
     def kernel(h_ref, ctx_ref, b_fg_ref, w_fg_ref, w_out_ref, b_out_ref,

@@ -32,7 +32,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from movenet_tpu.ops.pallas.gated_block import _dot, _dot_t0, _pick_tile
+from movenet_tpu.ops.pallas.gated_block import (
+    _dot,
+    _dot_t0,
+    _mdot,
+    _mdot_t0,
+    _pick_tile,
+)
 
 
 def _leaky(x):
@@ -43,14 +49,18 @@ def _dleaky(x):
     return jnp.where(x > 0, 1.0, 0.01)
 
 
-def _core(skip, tgt_col, w1, b1, w2, b2, c: int, parity: bool):
+def _core(skip, tgt_col, w1, b1, w2, b2, c: int, parity: bool,
+          op_dt=jnp.float32):
     """Shared per-tile forward: (y_pre, z, p_or_none, onehot, zmax).
 
+    ``op_dt``: matmul operand dtype (the model compute dtype; see
+    gated_block._mdot) — z still accumulates in f32 and ALL softmax /
+    probability algebra below stays exact f32 VPU math.
     The softmax is manual so its row max can be shared with
     _match_rows (jax.nn.softmax would compute its own)."""
     act = _leaky(skip)
-    y = _dot(act, w1) + b1
-    z = _dot(_leaky(y), w2) + b2                      # (tile, C)
+    y = _mdot(act, w1, op_dt) + b1
+    z = _mdot(_leaky(y), w2, op_dt) + b2              # (tile, C)
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     onehot = (col == tgt_col).astype(jnp.float32)
     zmax = jnp.max(z, axis=-1, keepdims=True)
@@ -269,7 +279,7 @@ def _bwd_kernel_packed(rf: int, t_total: int, parity: bool, tile2: int,
 
 def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
                 n_tiles: int, n_batch: int, tgt_off: int = 0,
-                save_p: bool = True):
+                save_p: bool = True, op_dt=jnp.float32):
     def kernel(skip_ref, tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                loss_ref, match_ref, *rest):
         psave_ref = rest[0] if save_p else None
@@ -293,7 +303,7 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
             axis=1, keepdims=True)                      # (tile, 1)
         _, z, p, onehot, zmax = _core(
             skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
-            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
+            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity, op_dt)
         nll = _nll_rows(z, p, onehot, parity, zmax)
         match = _match_rows(z, tgt_col, zmax)
         if save_p:
@@ -349,7 +359,8 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         # head matmul (for the leaky masks) is recomputed — no z
         # matmul, no row max, no softmax exp
         p = psave_ref[0]
-        y = _dot(_leaky(skip), w1_ref[:, :]) + b1_ref[pl.ds(0, 1), :]
+        y = _mdot(_leaky(skip), w1_ref[:, :], in_dtype) \
+            + b1_ref[pl.ds(0, 1), :]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
         valid = ((row >= rf - 1) & (row < t_total - 1)).astype(
@@ -366,13 +377,13 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         dz = dz * scale                                 # (tile, C)
 
         ly = _leaky(y)
-        dw2_acc[:, :] += _dot_t0(ly, dz)
+        dw2_acc[:, :] += _mdot_t0(ly, dz, in_dtype)
         db2_acc[:, :] += jnp.sum(dz, axis=0, keepdims=True)
-        dy = _dot(dz, w2t_ref[:, :]) * _dleaky(y)       # (tile, C)
+        dy = _mdot(dz, w2t_ref[:, :], in_dtype) * _dleaky(y)
         lskip = _leaky(skip)
-        dw1_acc[:, :] += _dot_t0(lskip, dy)
+        dw1_acc[:, :] += _mdot_t0(lskip, dy, in_dtype)
         db1_acc[:, :] += jnp.sum(dy, axis=0, keepdims=True)
-        dskip_ref[0] = (_dot(dy, w1t_ref[:, :])
+        dskip_ref[0] = (_mdot(dy, w1t_ref[:, :], in_dtype)
                         * _dleaky(skip)).astype(in_dtype)
 
         @pl.when(jnp.logical_and(b_idx == n_batch - 1,
@@ -526,7 +537,7 @@ def _fwd_pallas(skip_sum, targets_tb, w1, b1, w2, b2, rf: int,
             jax.ShapeDtypeStruct((batch, t_total, c), jnp.float32))
     out = pl.pallas_call(
         _fwd_kernel(rf, t_total, c, parity, tile, n_tiles, batch,
-                    tgt_off, save_p),
+                    tgt_off, save_p, op_dt=skip_sum.dtype),
         grid=(batch, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, s), lambda b, i: (b, i, 0),

@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from movenet_tpu.ops.pallas.gated_block import _dot, _dot_t0
+from movenet_tpu.ops.pallas.gated_block import (
+    _dot,
+    _dot_t0,
+    _mdot,
+    _mdot_t0,
+)
 from movenet_tpu.ops.pallas.head_loss import (
     _core,
     _dleaky,
@@ -66,7 +71,7 @@ def _pad8(n: int) -> int:
 
 
 def _gate(fg, r: int):
-    """(tf, sg) PixelCNN gating halves of the fg tile.
+    """(tf, sg) PixelCNN gating halves of the fg tile, in f32.
 
     Two half-lane transcendentals.  Measured A/B on v5e: packing the
     gating into ONE dense (tile, 2R) transcendental via pre-scaled
@@ -75,7 +80,11 @@ def _gate(fg, r: int):
     (+2.0 ms/step and +0.7 ms/step respectively on the breakdancing
     config) — Mosaic's half-lane transcendentals don't pay the full
     dense-lane cost, and tanh in particular is far more expensive than
-    sigmoid per lane.
+    sigmoid per lane.  Also measured: computing the tanh on bf16
+    vectors (to halve its lane width) LOSES +0.37 ms/step on the
+    breakdancing config — Mosaic's bf16 tanh lowering is slower than
+    dense f32, and its logistic lowering rejects bf16 outright — so
+    the gate always runs in f32 and is rounded only where stored.
     """
     return jnp.tanh(fg[:, :r]), jax.nn.sigmoid(fg[:, r:])
 
@@ -124,6 +133,13 @@ def supports_recompute(t: int, dilations) -> bool:
         return False
     return all(d < tile for d in dilations)
 
+
+
+# Backward-kernel matmul operand dtype override: jnp.float32 keeps the
+# bwd operands in f32 (measured FASTER on v5e: the per-layer casts of
+# dout/dfg/hp cost more VPU time than the MXU saves — the fwd benefits
+# because its operands are already rounded); None = the storage dtype.
+_BWD_OPERAND_DT = jnp.float32
 
 # hsave above this budget flips the auto strategy to tails-recompute
 _SAVE_ALL_BUDGET_BYTES = 1 << 30
@@ -225,7 +241,7 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
         if embed_vocab:
             oh2 = _embed_onehot(x_ref, b_idx, tile, embed_vocab,
                                 n_batch)
-            h = _dot(oh2, table2_ref[:, :])
+            h = _mdot(oh2, table2_ref[:, :], out_dtype)
             if out_dtype != jnp.float32:
                 # round like the XLA path so hsave (what the backward
                 # sees) matches the h the forward actually used
@@ -249,7 +265,10 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
                 ring_ref[pl.ds(offs[l], d), :] = h[tile - d:, :]
             parts = [h, shifted] + ([ctx] if has_ctx else [])
             hp = jnp.concatenate(parts, axis=1)
-            fg = _dot(hp, w_fg_ref[l]) \
+            # operands in the compute dtype (see _mdot): the rounded hp
+            # the MXU sees equals what hsave stores, so the backward's
+            # rebuilt hp matches the forward's operand exactly
+            fg = _mdot(hp, w_fg_ref[l], out_dtype) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
             tf, sg = _gate(fg, r)
             # packed [tf | sg]: 2R = 128 lanes exactly, so this write is
@@ -264,7 +283,8 @@ def _fwd_kernel(dilations, r: int, s: int, has_ctx: bool, tile: int,
             # matches the XLA path, which gates in the compute dtype)
             vf = v.astype(jnp.float32)
             gated = vf[:, :r] * vf[:, r:]
-            out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
+            out = _mdot(gated, w_out_ref[l], out_dtype) \
+                + b_out_ref[pl.ds(l, 1), :]
             skip_acc = skip_acc + out[:, r:]
             h = out[:, :r] + h
 
@@ -418,13 +438,14 @@ def _fwd_kernel_head(dilations, r: int, s: int, has_ctx: bool,
                 ring_ref[pl.ds(offs[l], d), :] = h[tile - d:, :]
             parts = [h, shifted] + ([ctx] if has_ctx else [])
             hp = jnp.concatenate(parts, axis=1)
-            fg = _dot(hp, w_fg_ref[l]) \
+            fg = _mdot(hp, w_fg_ref[l], out_dtype) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
             tf, sg = _gate(fg, r)
             tfsg_ref[l, 0] = jnp.concatenate([tf, sg],
                                              axis=1).astype(out_dtype)
             gated = tf * sg
-            out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
+            out = _mdot(gated, w_out_ref[l], out_dtype) \
+                + b_out_ref[pl.ds(l, 1), :]
             skip_acc = skip_acc + out[:, r:]
             h = out[:, :r] + h
 
@@ -439,7 +460,8 @@ def _fwd_kernel_head(dilations, r: int, s: int, has_ctx: bool,
                           axis=1, keepdims=True)
         _, z, p, onehot, zmax = _core(
             sk, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
-            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
+            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity,
+            out_dtype)
         nll = _nll_rows(z, p, onehot, parity, zmax)
         match = _match_rows(z, tgt_col, zmax)
         row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + t0
@@ -533,6 +555,7 @@ def _fwd_pallas_head(x, ctx, b_fg, w_fg, w_out, b_out, targets_tb,
 # ------------------------------------ backward (save mode, fused head)
 def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
                      in_dtype, ring_offs, rf, t_total, c, parity):
+    mdt = _BWD_OPERAND_DT or in_dtype
     n_layers = len(dilations)
     tail_offs, _, _ = _split_ring_offsets(dilations, tile)
     big_layers = [l for l, d in enumerate(dilations) if d >= tile]
@@ -580,7 +603,8 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
                           axis=1, keepdims=True)
         y, z, p, onehot, _zmax = _core(
             skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
-            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity)
+            w2_ref[:, :], b2_ref[pl.ds(0, 1), :], c, parity,
+            in_dtype)
         rowt = row + t0
         valid = ((rowt >= rf - 1) & (rowt < t_total - 1)).astype(
             jnp.float32)
@@ -594,13 +618,13 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
             dz = jax.nn.softmax(z, axis=-1) - onehot
         dz = dz * scale
         ly = _leaky(y)
-        dw2_acc[:, :] += _dot_t0(ly, dz)
+        dw2_acc[:, :] += _mdot_t0(ly, dz, mdt)
         db2_acc[:, :] += jnp.sum(dz, axis=0, keepdims=True)
-        dy = _dot(dz, w2t_ref[:, :]) * _dleaky(y)
+        dy = _mdot(dz, w2t_ref[:, :], mdt) * _dleaky(y)
         lskip = _leaky(skip)
-        dw1_acc[:, :] += _dot_t0(lskip, dy)
+        dw1_acc[:, :] += _mdot_t0(lskip, dy, mdt)
         db1_acc[:, :] += jnp.sum(dy, axis=0, keepdims=True)
-        dskip = _dot(dy, w1t_ref[:, :]) * _dleaky(skip)
+        dskip = _mdot(dy, w1t_ref[:, :], mdt) * _dleaky(skip)
 
         # ---- layer backward (identical to _bwd_kernel_padded)
         dh = jnp.zeros((tile, r), jnp.float32)
@@ -627,18 +651,18 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
             v = tfsg_ref[l, 0].astype(jnp.float32)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
-            dgated = _dot(dout, w_out_t_ref[l])
+            dgated = _mdot(dout, w_out_t_ref[l], mdt)
             gated, dfg = _dfg_from_v(v, dgated, r)
 
-            wf = _dot_t0(hp, dfg)
+            wf = _mdot_t0(hp, dfg, mdt)
             dwfg_acc[l] += wf[:w_in]
             dbfg_acc[pl.ds(l, 1), :] += wf[w_in: w_in + 1]
             go = jnp.concatenate([gated, ones_col], axis=1)
-            wo = _dot_t0(go, dout)
+            wo = _mdot_t0(go, dout, mdt)
             dwout_acc[l] += wo[:r]
             dbout_acc[pl.ds(l, 1), :] += wo[r: r + 1]
 
-            dfg_w = _dot(dfg, w_fg_t_ref[l])
+            dfg_w = _mdot(dfg, w_fg_t_ref[l], mdt)
             dh = dh + dfg_w[:, :r]
             dfg_p = dfg_w[:, r: 2 * r]
             if d >= tile:
@@ -872,11 +896,12 @@ def _fwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
             ring_ref[pl.ds(offs[l], d), :] = h[tile - d:, :]
             parts = [h, shifted] + ([ctx] if has_ctx else [])
             hp = jnp.concatenate(parts, axis=1)
-            fg = _dot(hp, w_fg_ref[l]) \
+            fg = _mdot(hp, w_fg_ref[l], out_dtype) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
             tf, sg = _gate(fg, r)
             gated = tf * sg
-            out = _dot(gated, w_out_ref[l]) + b_out_ref[pl.ds(l, 1), :]
+            out = _mdot(gated, w_out_ref[l], out_dtype) \
+                + b_out_ref[pl.ds(l, 1), :]
             skip_acc = skip_acc + out[:, r:]
             h = out[:, :r] + h
             if out_dtype != jnp.float32:
@@ -939,6 +964,7 @@ def _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
 # ---------------------------------------------- backward (tails mode)
 def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
                       tile: int, n_tiles: int, n_batch: int, in_dtype):
+    mdt = _BWD_OPERAND_DT or in_dtype
     n_layers = len(dilations)
     offs, _ = _ring_offsets(dilations)
 
@@ -979,14 +1005,16 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
                     jnp.float32), h[: tile - d, :]], axis=0)
             parts = [h, shifted] + ([ctx] if has_ctx else [])
             hp = jnp.concatenate(parts, axis=1)
-            fg = _dot(hp, w_fg_ref[l]) \
+            # forward-reproducing matmuls use the FORWARD's operand
+            # dtype (in_dtype == the fwd's out_dtype), not the
+            # gradient-matmul override, so the rebuilt h is
+            # bit-identical to _fwd_kernel_tails'
+            fg = _mdot(hp, w_fg_ref[l], in_dtype) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
-            # same op sequence as the forward so the rebuilt h is
-            # bit-identical
             tf, sg = _gate(fg, r)
             gated = tf * sg
             # only the residual half of the output projection is needed
-            res = _dot(gated, w_out_ref[l][:, :r]) \
+            res = _mdot(gated, w_out_ref[l][:, :r], in_dtype) \
                 + b_out_ref[pl.ds(l, 1), :][:, :r]
             h = res + h
             if in_dtype != jnp.float32:
@@ -1006,22 +1034,23 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
                     jnp.float32), h[: tile - d, :]], axis=0)
             parts = [h, shifted] + ([ctx] if has_ctx else [])
             hp = jnp.concatenate(parts, axis=1)
-            fg = _dot(hp, w_fg_ref[l]) \
+            # fg recompute mirrors the forward (operand dtype included)
+            fg = _mdot(hp, w_fg_ref[l], in_dtype) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
             v = jnp.concatenate(_gate(fg, r), axis=1)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
-            dgated = _dot(dout, w_out_t_ref[l])
+            dgated = _mdot(dout, w_out_t_ref[l], mdt)
             gated, dfg = _dfg_from_v(v, dgated, r)
 
-            dwfg_acc[l] += _dot_t0(hp, dfg)
-            dwout_acc[l] += _dot_t0(gated, dout)
+            dwfg_acc[l] += _mdot_t0(hp, dfg, mdt)
+            dwout_acc[l] += _mdot_t0(gated, dout, mdt)
             dbout_acc[pl.ds(l, 1), :] += jnp.sum(dout, axis=0,
                                                  keepdims=True)
             dbfg_acc[pl.ds(l, 1), :] += jnp.sum(dfg, axis=0,
                                                 keepdims=True)
 
-            dfg_w = _dot(dfg, w_fg_t_ref[l])
+            dfg_w = _mdot(dfg, w_fg_t_ref[l], mdt)
             dh = dh + dfg_w[:, :r]
             dfg_p = dfg_w[:, r: 2 * r]
             saved = dfgp_ring[pl.ds(l * tile, tile), :]
@@ -1143,6 +1172,36 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
     w_in = w_fg.shape[1]
     small_pad = tails.shape[2]
     save_h = hsave is not None
+
+    # Two-time-tiles-per-pass (round-3 VERDICT item 2a): the backward
+    # runs on a MULTIPLE of the forward tile — the forward's per-tile
+    # ring snapshots at the multiplied boundaries are still the right
+    # boundary state, every d < tile still resolves in-tile, and the
+    # kernel body is unchanged.  Halves the sequential grid steps and
+    # doubles the wgrad contraction depth per issue; VMEM bounds the
+    # multiplier (in-blocks double-buffer, dfgp rings scale with tile).
+    mult = 1
+    if not any(d >= tile for d in dilations):
+        isz = tfsg.dtype.itemsize
+        for cand in (4, 2):
+            if n_tiles % cand:
+                continue
+            tb = tile * cand
+            per_in = tb * (n_layers * r * isz * (3 if save_h else 2)
+                           + (r * isz if has_ctx else 0) + s * isz
+                           + (tfsg.dtype.itemsize * 0))
+            vmem = 2 * per_in + 2 * 2 * tb * r * isz \
+                + n_layers * tb * r * 4 \
+                + (n_layers * tb * r * 4 if not save_h else 0)
+            # Mosaic's real appetite is ~2.3x this estimate (measured:
+            # est ~81 MB compiled to 185 MB and OOM'd the 128 MB VMEM
+            # on the breakdancing config at mult=2), so the budget is
+            # set to what actually fits; big configs stay at mult=1
+            if vmem <= 40 * 1024 * 1024:
+                mult = cand
+                break
+    tile *= mult
+    n_tiles //= mult
     # anti-causal rings need at least `tile` rows per layer
     offs2, total2 = [], 0
     for d in dilations:
@@ -1195,9 +1254,10 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                               memory_space=pltpu.VMEM)
     tfsg_spec = pl.BlockSpec((lck, 1, tile, 2 * r), lmap,
                              memory_space=pltpu.VMEM)
+    # tails are written at the FORWARD tiling: index tile-multiplied
     tails_spec = pl.BlockSpec((1, 1, small_pad, r),
-                              lambda b, j, *c: (b, n_tiles - 1 - j,
-                                                0, 0),
+                              lambda b, j, *c: (
+                                  b, mult * (n_tiles - 1 - j), 0, 0),
                               memory_space=pltpu.VMEM)
     # full previous-tile reloads only for dilations spanning tiles; the
     # d<tile boundary rows come from the forward's ring snapshot
@@ -1318,6 +1378,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
     enough to double-buffer; dh/dctx carry between chunk steps in VMEM
     scratch.  The per-layer math and visit order are IDENTICAL to the
     monolithic kernel."""
+    mdt = _BWD_OPERAND_DT or in_dtype
     n_layers = len(dilations)
     ck = layer_chunk or n_layers
     n_chunks = n_layers // ck
@@ -1388,7 +1449,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             if embed_vocab:
                 oh2 = _embed_onehot(codes_ref, b_idx, tile,
                                     embed_vocab, n_batch)
-                h_rec = _dot(oh2, lead_ref[:, :])
+                h_rec = _mdot(oh2, lead_ref[:, :], in_dtype)
                 if in_dtype != jnp.float32:
                     h_rec = h_rec.astype(in_dtype).astype(jnp.float32)
             else:
@@ -1397,7 +1458,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 h_all[l] = h_rec
                 v = tfsg_ref[l, 0].astype(jnp.float32)
                 gated = v[:, :r] * v[:, r:]
-                h_rec = h_rec + (_dot(gated, w_res_ref[l])
+                h_rec = h_rec + (_mdot(gated, w_res_ref[l], in_dtype)
                                  + b_res_ref[pl.ds(l, 1), :])
 
         def do_layer(l, l_loc, dh, dctx_acc):
@@ -1429,18 +1490,18 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             v = tfsg_ref[l_loc, 0].astype(jnp.float32)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
-            dgated = _dot(dout, w_out_t_ref[l])
+            dgated = _mdot(dout, w_out_t_ref[l], mdt)
             gated, dfg = _dfg_from_v(v, dgated, r)
 
-            wf = _dot_t0(hp, dfg)                      # (W_in+1, 2R)
+            wf = _mdot_t0(hp, dfg, mdt)           # (W_in+1, 2R)
             dwfg_acc[l] += wf[:w_in]
             dbfg_acc[pl.ds(l, 1), :] += wf[w_in: w_in + 1]
             go = jnp.concatenate([gated, ones_col], axis=1)
-            wo = _dot_t0(go, dout)                     # (R+1, R+S)
+            wo = _mdot_t0(go, dout, mdt)          # (R+1, R+S)
             dwout_acc[l] += wo[:r]
             dbout_acc[pl.ds(l, 1), :] += wo[r: r + 1]
 
-            dfg_w = _dot(dfg, w_fg_t_ref[l])
+            dfg_w = _mdot(dfg, w_fg_t_ref[l], mdt)
             dh = dh + dfg_w[:, :r]
             dfg_p = dfg_w[:, r: 2 * r]
             if d >= tile:
@@ -1466,7 +1527,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 if oh2 is None:
                     oh2 = _embed_onehot(codes_ref, b_idx, tile,
                                         embed_vocab, n_batch)
-                dtab_acc[:, :] += _dot_t0(oh2, dh)
+                dtab_acc[:, :] += _mdot_t0(oh2, dh, mdt)
             else:
                 dx_ref[0] = dh.astype(in_dtype)
             if has_ctx:
