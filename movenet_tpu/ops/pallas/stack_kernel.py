@@ -136,9 +136,13 @@ def supports_recompute(t: int, dilations) -> bool:
 
 
 # Backward-kernel matmul operand dtype override: jnp.float32 keeps the
-# bwd operands in f32 (measured FASTER on v5e: the per-layer casts of
-# dout/dfg/hp cost more VPU time than the MXU saves — the fwd benefits
-# because its operands are already rounded); None = the storage dtype.
+# bwd operands in f32; None = the storage dtype (single-pass MXU on
+# bf16 models).  bf16 measured SLOWER twice on v5e: once with doubled
+# casts (f32 hp rebuilt then re-cast inside _mdot) and once with the
+# restructured single-cast operands (12.63 vs 12.01 ms/step,
+# probe_bwd_dtype.py round 3) — Mosaic's f32 dot at these shapes beats
+# bf16-plus-casts, so f32 stays.  The do_layer/tails restructure is
+# operand-dtype-generic and identical to the old code at f32.
 _BWD_OPERAND_DT = jnp.float32
 
 # hsave above this budget flips the auto strategy to tails-recompute
@@ -1034,23 +1038,37 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
                     jnp.float32), h[: tile - d, :]], axis=0)
             parts = [h, shifted] + ([ctx] if has_ctx else [])
             hp = jnp.concatenate(parts, axis=1)
+            # ONE hp cast serves both the fg recompute (forward operand
+            # dtype — exact: h/tails/ctx values are already rounded)
+            # and the wgrad matmul when mdt == in_dtype
+            hp_f = hp.astype(in_dtype)
             # fg recompute mirrors the forward (operand dtype included)
-            fg = _mdot(hp, w_fg_ref[l], in_dtype) \
+            fg = jnp.dot(hp_f, w_fg_ref[l].astype(in_dtype),
+                         preferred_element_type=jnp.float32) \
                 + b_fg_ref[pl.ds(l * n_batch + b_idx, 1), :]
             v = jnp.concatenate(_gate(fg, r), axis=1)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
-            dgated = _mdot(dout, w_out_t_ref[l], mdt)
+            dout_m = dout.astype(mdt)
+            dgated = jnp.dot(dout_m, w_out_t_ref[l].astype(mdt),
+                             preferred_element_type=jnp.float32)
             gated, dfg = _dfg_from_v(v, dgated, r)
+            dfg_m = dfg.astype(mdt)
 
-            dwfg_acc[l] += _mdot_t0(hp, dfg, mdt)
-            dwout_acc[l] += _mdot_t0(gated, dout, mdt)
+            hp_m = hp_f if mdt == in_dtype else hp.astype(mdt)
+            dwfg_acc[l] += jax.lax.dot_general(
+                hp_m, dfg_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwout_acc[l] += jax.lax.dot_general(
+                gated.astype(mdt), dout_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dbout_acc[pl.ds(l, 1), :] += jnp.sum(dout, axis=0,
                                                  keepdims=True)
             dbfg_acc[pl.ds(l, 1), :] += jnp.sum(dfg, axis=0,
                                                 keepdims=True)
 
-            dfg_w = _mdot(dfg, w_fg_t_ref[l], mdt)
+            dfg_w = jnp.dot(dfg_m, w_fg_t_ref[l].astype(mdt),
+                            preferred_element_type=jnp.float32)
             dh = dh + dfg_w[:, :r]
             dfg_p = dfg_w[:, r: 2 * r]
             saved = dfgp_ring[pl.ds(l * tile, tile), :]
@@ -1434,9 +1452,12 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             dfgp_ring[:, :] = jnp.zeros(dfgp_ring.shape, jnp.float32)
             dbfg_acc[:, :] = jnp.zeros(dbfg_acc.shape, jnp.float32)
 
-        ctx = ctx_ref[0].astype(jnp.float32) if has_ctx else None
+        # ctx / ones feed only MXU operands: keep them in mdt (the
+        # stored ctx values are already rounded, so no precision is
+        # discarded and no f32 round-trip copies are paid)
+        ctx = ctx_ref[0].astype(mdt) if has_ctx else None
         dskip = dskip_ref[0].astype(jnp.float32)
-        ones_col = jnp.ones((tile, 1), jnp.float32)
+        ones_col = jnp.ones((tile, 1), mdt)
         w_in = (3 if has_ctx else 2) * r
 
         oh2 = None
@@ -1464,13 +1485,15 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
         def do_layer(l, l_loc, dh, dctx_acc):
             d = dilations[l]
             off = ring_offs[l]
+            # h / shifted feed only the hp matmul operand: read them in
+            # mdt (hsave/tails store already-rounded values, so the
+            # cast is exact for bf16 models and identity for f32)
             if save_h:
-                h = lead_ref[l_loc, 0].astype(jnp.float32)
+                h = lead_ref[l_loc, 0].astype(mdt)
             else:
-                h = h_all[l]
+                h = h_all[l].astype(mdt)
             if d >= tile:
-                shifted = shift_refs[shift_slot[l]][0, 0].astype(
-                    jnp.float32)
+                shifted = shift_refs[shift_slot[l]][0, 0].astype(mdt)
                 shifted = jnp.where(t0 < d, jnp.zeros_like(shifted),
                                     shifted)
             else:
@@ -1478,7 +1501,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 # at ti == 0 since the ring starts zeroed)
                 shifted = jnp.concatenate(
                     [tails_ref[0, 0, pl.ds(tail_offs[l], d), :].astype(
-                        jnp.float32), h[: tile - d, :]], axis=0)
+                        mdt), h[: tile - d, :]], axis=0)
             # ones-column augmentation: the bias gradients ride the
             # wgrad matmuls as an extra output row (M 192->193 and
             # 64->65 stay within the same MXU chunk counts), replacing
@@ -1486,22 +1509,30 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             # scripts/exp_trunk_bwd.py 'fold_bias')
             parts = [h, shifted] + ([ctx] if has_ctx else []) \
                 + [ones_col]
-            hp = jnp.concatenate(parts, axis=1)
+            hp = jnp.concatenate(parts, axis=1)   # (tile, W_in+1) mdt
             v = tfsg_ref[l_loc, 0].astype(jnp.float32)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
-            dgated = _mdot(dout, w_out_t_ref[l], mdt)
+            dout_m = dout.astype(mdt)             # shared by 2 matmuls
+            dgated = jnp.dot(dout_m, w_out_t_ref[l].astype(mdt),
+                             preferred_element_type=jnp.float32)
             gated, dfg = _dfg_from_v(v, dgated, r)
+            dfg_m = dfg.astype(mdt)               # shared by 2 matmuls
 
-            wf = _mdot_t0(hp, dfg, mdt)           # (W_in+1, 2R)
+            wf = jax.lax.dot_general(             # (W_in+1, 2R)
+                hp, dfg_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dwfg_acc[l] += wf[:w_in]
             dbfg_acc[pl.ds(l, 1), :] += wf[w_in: w_in + 1]
-            go = jnp.concatenate([gated, ones_col], axis=1)
-            wo = _mdot_t0(go, dout, mdt)          # (R+1, R+S)
+            go = jnp.concatenate([gated.astype(mdt), ones_col], axis=1)
+            wo = jax.lax.dot_general(             # (R+1, R+S)
+                go, dout_m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dwout_acc[l] += wo[:r]
             dbout_acc[pl.ds(l, 1), :] += wo[r: r + 1]
 
-            dfg_w = _mdot(dfg, w_fg_t_ref[l], mdt)
+            dfg_w = jnp.dot(dfg_m, w_fg_t_ref[l].astype(mdt),
+                            preferred_element_type=jnp.float32)
             dh = dh + dfg_w[:, :r]
             dfg_p = dfg_w[:, r: 2 * r]
             if d >= tile:
