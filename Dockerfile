@@ -10,7 +10,7 @@ RUN apt-get update && apt-get install -y --no-install-recommends \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
-COPY pyproject.toml README.md ./
+COPY pyproject.toml README.md Makefile ./
 COPY movenet_tpu ./movenet_tpu
 COPY experiments ./experiments
 COPY scripts ./scripts
@@ -22,5 +22,10 @@ RUN pip install --no-cache-dir \
         flax optax orbax-checkpoint numpy pyyaml \
     && pip install --no-cache-dir --no-build-isolation -e . \
     && python -m movenet_tpu.native.build
+
+# real-codec validation: this image has real ffmpeg, so assert the
+# python decode path and native/pipeline.cpp produce bit-identical
+# batches from actual mpeg4/aac media (scripts/validate_codec.py)
+RUN make codec-validate
 
 ENTRYPOINT ["python", "-m", "movenet_tpu.train.cli"]
