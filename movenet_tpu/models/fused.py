@@ -141,19 +141,24 @@ def _prepare_trunk(model: WaveNet, params, codes, video, labels,
 
 
 def _codes_pack(codes, with_targets: bool):
-    """ONE (T, kB) s32 relayout serving every per-position consumer:
+    """ONE (T, kB) int16 relayout serving every per-position consumer:
     columns [0,B) = codes, [B,2B) = codes shifted right (row 0 = -1
     sentinel), and with_targets, [2B,3B) = codes shifted left (CE
     targets; junk last row, masked by the head kernel).  The shifts
     happen on the compact (B, T) layout — row ops on the padded (T, B)
     tiling rewrite every 128-lane tile and cost ~0.5 ms/step; separate
-    transposes per consumer cost ~0.13 ms each (both measured, v5e)."""
+    transposes per consumer cost ~0.13 ms each (both measured, v5e).
+    int16 halves the lane-padded (T, 128) relayout write (~0.06 ms);
+    kernels widen to s32 at load.  Requires vocab < 32768 (mu-law
+    quantization_channels is <= 256 everywhere in the reference,
+    config.py:149-240)."""
     b = codes.shape[0]
-    parts = [codes,
-             jnp.concatenate([jnp.full((b, 1), -1, jnp.int32),
-                              codes[:, :-1]], axis=1)]
+    c16 = codes.astype(jnp.int16)
+    parts = [c16,
+             jnp.concatenate([jnp.full((b, 1), -1, jnp.int16),
+                              c16[:, :-1]], axis=1)]
     if with_targets:
-        parts.append(jnp.roll(codes, -1, axis=1))
+        parts.append(jnp.roll(c16, -1, axis=1))
     return jnp.concatenate(parts, axis=0).T              # (T, kB)
 
 

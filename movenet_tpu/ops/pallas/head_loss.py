@@ -138,6 +138,7 @@ def _packed_meta(tile2: int, batch: int, b_idx, tgt2):
     """Per-lane target / class-index / group metadata for one packed
     tile: returns (onehot, tgt_lane, cls, in_hi) as (tile2, 128)."""
     lane2b = jax.lax.broadcasted_iota(jnp.int32, tgt2.shape, 1)
+    tgt2 = tgt2.astype(jnp.int32)    # the pack may arrive int16
     tgt_e = jnp.sum(jnp.where(lane2b == b_idx, tgt2, 0), axis=1,
                     keepdims=True)
     tgt_o = jnp.sum(jnp.where(lane2b == batch + b_idx, tgt2, 0),
@@ -299,7 +300,8 @@ def _fwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         # codes array)
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
         tgt_col = jnp.sum(
-            jnp.where(lane == tgt_off + b_idx, tgt_ref[:, :], 0),
+            jnp.where(lane == tgt_off + b_idx,
+                      tgt_ref[:, :].astype(jnp.int32), 0),
             axis=1, keepdims=True)                      # (tile, 1)
         _, z, p, onehot, zmax = _core(
             skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
@@ -351,7 +353,8 @@ def _bwd_kernel(rf: int, t_total: int, c: int, parity: bool, tile: int,
         skip = skip_ref[0].astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
         tgt_col = jnp.sum(
-            jnp.where(lane == tgt_off + b_idx, tgt_ref[:, :], 0),
+            jnp.where(lane == tgt_off + b_idx,
+                      tgt_ref[:, :].astype(jnp.int32), 0),
             axis=1, keepdims=True)
         col = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 1)
         onehot = (col == tgt_col).astype(jnp.float32)

@@ -204,7 +204,9 @@ def _embed_onehot(pack_ref, b_idx, tile: int, vocab: int,
     (one host-side s32 relayout serves every consumer; see
     models/fused.py)."""
     lane_b = jax.lax.broadcasted_iota(jnp.int32, pack_ref.shape, 1)
-    pack = pack_ref[:, :]
+    # the pack may arrive int16 (half the HBM relayout traffic); widen
+    # once at load, all comparisons below stay s32
+    pack = pack_ref[:, :].astype(jnp.int32)
     cur_col = jnp.sum(jnp.where(lane_b == b_idx, pack, 0), axis=1,
                       keepdims=True)                     # (tile, 1)
     prev_col = jnp.sum(jnp.where(lane_b == n_batch + b_idx, pack, 0),
@@ -460,7 +462,8 @@ def _fwd_kernel_head(dilations, r: int, s: int, has_ctx: bool,
         skip_ref[0] = skipb
         sk = skipb.astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
-        tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
+        tgt_col = jnp.sum(jnp.where(lane == b_idx,
+                                    tgt_ref[:, :].astype(jnp.int32), 0),
                           axis=1, keepdims=True)
         _, z, p, onehot, zmax = _core(
             sk, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
@@ -603,7 +606,8 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
         # dskip for this tile (exactly head_loss._bwd_kernel, fused)
         skip = skip_ref[0].astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, tgt_ref.shape, 1)
-        tgt_col = jnp.sum(jnp.where(lane == b_idx, tgt_ref[:, :], 0),
+        tgt_col = jnp.sum(jnp.where(lane == b_idx,
+                                    tgt_ref[:, :].astype(jnp.int32), 0),
                           axis=1, keepdims=True)
         y, z, p, onehot, _zmax = _core(
             skip, tgt_col, w1_ref[:, :], b1_ref[pl.ds(0, 1), :],
