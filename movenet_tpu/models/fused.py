@@ -90,12 +90,36 @@ def _prepare_trunk(model: WaveNet, params, codes, video, labels,
 
     ctx = None
     if video is not None:
-        ctx = model.apply(variables, video, method=WaveNet.encode_video)
-        if ctx.shape[1] != t:
-            raise ValueError(
-                "expected upsampled video and audio to have equal time "
-                f"lengths, found {ctx.shape[1]}, {t}")
-        ctx = ctx.astype(dt)
+        # prefer the coarse (B, T/10, R) features + projection triple:
+        # the final stride-10 upsample then runs inside the fused
+        # kernels' VJP (ctx_proj in ops/pallas/stack_kernel) instead of
+        # paying the (T/10, 10R) -> (T, R) repack, its transpose, and
+        # the bias-grad batch reduce in XLA (~0.29 ms/step measured on
+        # the breakdancing config)
+        from movenet_tpu.models.wavenet import video_upsample_sizes
+
+        up_name = None
+        if t % 10 == 0:
+            sizes = video_upsample_sizes(model.max_video_frames,
+                                         model.max_audio_frames)
+            up_name = f"upsample_{len(sizes) - 2}"
+        ve_params = params.get("video_encoder", {})
+        if up_name is not None and up_name in ve_params:
+            xc = model.apply(variables, video,
+                             method=WaveNet.encode_video_coarse)
+            if xc.shape[1] * 10 == t:
+                ctx = (xc.astype(dt), ve_params[up_name]["kernel"],
+                       ve_params[up_name]["bias"])
+            elif xc.shape[1] == t:   # coarse fell back to full rate
+                ctx = xc.astype(dt)
+        if ctx is None:
+            ctx = model.apply(variables, video,
+                              method=WaveNet.encode_video)
+            if ctx.shape[1] != t:
+                raise ValueError(
+                    "expected upsampled video and audio to have equal "
+                    f"time lengths, found {ctx.shape[1]}, {t}")
+            ctx = ctx.astype(dt)
     global_vec = None
     if labels is not None and model.global_classes:
         global_vec = model.apply(variables, labels,
@@ -199,6 +223,12 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
 
     h = _front_embed(params["front_cur"], params["front_past"], codes,
                      dt, vocab)
+    if ctx is not None:
+        from movenet_tpu.ops.pallas.stack_kernel import (
+            ctx_flatten, ctx_is_proj)
+
+        if ctx_is_proj(ctx):   # per-block fallback runs on flat ctx
+            ctx = ctx_flatten(ctx, dt)
     skip_sum = None
     for i, d in enumerate(dilations):
         b_fg, w_fg, w_out, b_out = block_weights(i)
@@ -240,6 +270,12 @@ def _merged_loss(model: WaveNet, params, codes, video, labels,
     dilations = tuple(model.dilations)
     h, ctx, stacked_w, _ = _prepare_trunk(model, params, codes, video,
                                           labels)
+    if ctx is not None:
+        from movenet_tpu.ops.pallas.stack_kernel import (
+            ctx_flatten, ctx_is_proj)
+
+        if ctx_is_proj(ctx):   # merged trunk+head runs on flat ctx
+            ctx = ctx_flatten(ctx, h.dtype)
     stacked = _stack_weights(model, stacked_w, t, dilations)
     if stacked is None:
         return None

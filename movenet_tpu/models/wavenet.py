@@ -91,7 +91,15 @@ class VideoEncoder(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, video: jnp.ndarray,
+                 coarse: bool = False) -> jnp.ndarray:
+        """``coarse=True`` stops BEFORE the final stride-10 dense
+        upsample and returns the (B, T/10, R) pre-upsample features —
+        the fused train path folds that last stage's backward into the
+        trunk kernel (ops/pallas/stack_kernel ctx_proj).  When the
+        final stage is not the non-overlapping dense case, the full
+        (B, T, R) output is returned instead (callers detect by
+        shape)."""
         b, f = video.shape[0], video.shape[1]
         r = self.residual_channels
         x = video.reshape(b, f, -1).astype(self.compute_dtype)
@@ -100,8 +108,11 @@ class VideoEncoder(nn.Module):
                      name="frame_proj")(x)
 
         sizes = video_upsample_sizes(self.in_frames, self.out_frames)
+        n_stages = len(sizes) - 1
         for i, (s_in, s_out) in enumerate(zip(sizes[:-1], sizes[1:])):
             k = upsample_kernel_size(s_in, s_out, stride=UPSAMPLE_STRIDE)
+            if coarse and i == n_stages - 1 and k == UPSAMPLE_STRIDE:
+                return x                    # (B, T/10, R)
             if k == UPSAMPLE_STRIDE:
                 # non-overlapping windows: pure matmul + reshape
                 y = nn.Dense(k * r, dtype=self.compute_dtype, precision=prec,
@@ -264,6 +275,14 @@ class WaveNet(nn.Module):
         """Video (B, F, H, W, C) -> (B, T_audio, R) conditioning features
         (reference upsample_video, wavenet.py:149-156)."""
         return self.video_encoder(video)
+
+    def encode_video_coarse(self, video: jnp.ndarray) -> jnp.ndarray:
+        """Video -> (B, T_audio/10, R) features BEFORE the final
+        stride-10 upsample (falls back to the full-rate output when the
+        final stage is not the dense non-overlapping case; callers
+        detect by shape).  Used by the fused train path to fold the
+        last upsample into the trunk kernels."""
+        return self.video_encoder(video, coarse=True)
 
     def embed_global(self, labels: Optional[jnp.ndarray]
                      ) -> Optional[jnp.ndarray]:

@@ -1176,7 +1176,7 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
 # -------------------------------------------------------------- backward
 def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                 dilations, interpret: bool, embed=None, x=None,
-                b_out=None):
+                b_out=None, ctx_proj=None):
     """embed=(codes2_tb, vocab[, table2]): the first output becomes
     the stacked-table gradient (2V, R) f32 instead of dx (B, T, R).
 
@@ -1184,7 +1184,18 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
     per tile from tfsg — layer 0's input comes from ``x`` (or the
     embedding rebuilt from ``embed``), and each next h is the residual
     update ``h + gated @ w_res + b_res`` with gated from the saved
-    (rounded) taps, bit-identical to what the forward computed."""
+    (rounded) taps, bit-identical to what the forward computed.
+
+    ctx_proj=(xc, wup_t): the final 10x video upsample's backward runs
+    INSIDE the kernel (round-3 VERDICT item 2b).  xc is the coarse
+    (B, T/10, R) pre-upsample activation, wup_t the (10, R, R)
+    per-phase transposed projection.  The dctx output then becomes the
+    coarse dxc (B, T/10, R) and a 7th output carries the projection's
+    ones-augmented weight gradient (10, R+1, R) — the flat (B, T, R)
+    dctx, its (T/10, 10R) repack, and the bias-grad batch reduce
+    (~0.29 ms/step on the breakdancing config) never touch HBM.  The
+    in-kernel split dctx -> (tile/10, 10, R) is a sublane-only reshape
+    Mosaic handles at ~copy cost (scripts/probe_ctx_reshape2.py)."""
     n_layers, batch, t_total, two_r = tfsg.shape
     r = two_r // 2
     s = w_out.shape[2] - r
@@ -1224,6 +1235,9 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                 break
     tile *= mult
     n_tiles //= mult
+    proj = ctx_proj is not None
+    assert not proj or (has_ctx and tile % 10 == 0 and
+                        t_total % 10 == 0)
     # anti-causal rings need at least `tile` rows per layer
     offs2, total2 = [], 0
     for d in dilations:
@@ -1294,6 +1308,27 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
         for l in big_layers
     ]
 
+    if proj:
+        xc, wup_t = ctx_proj
+        proj_args = (xc, wup_t)
+        proj_specs = [pl.BlockSpec((1, tile // 10, r), rmap,
+                                   memory_space=pltpu.VMEM), vm]
+        dctx_shape = jax.ShapeDtypeStruct((batch, t_total // 10, r),
+                                          tfsg.dtype)
+        dctx_out_spec = pl.BlockSpec((1, tile // 10, r), rmap,
+                                     memory_space=pltpu.VMEM)
+        proj_out_shapes = (jax.ShapeDtypeStruct((10, r + 1, r),
+                                                jnp.float32),)
+        proj_out_specs = (vm,)
+        proj_scratch = [pltpu.VMEM((10, r + 1, r), jnp.float32)]
+    else:
+        proj_args, proj_specs = (), []
+        dctx_shape = jax.ShapeDtypeStruct((batch, t_total, r),
+                                          tfsg.dtype)
+        dctx_out_spec = pl.BlockSpec((1, tile, r), rmap,
+                                     memory_space=pltpu.VMEM)
+        proj_out_shapes, proj_out_specs, proj_scratch = (), (), []
+
     in_dtype = tfsg.dtype
     if embed is None:
         embed_args, embed_specs, vocab = (), [], 0
@@ -1343,25 +1378,26 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                            n_tiles, batch,
                            in_dtype, tuple(offs2),
                            embed_vocab=vocab, save_h=save_h,
-                           layer_chunk=layer_chunk),
+                           layer_chunk=layer_chunk, ctx_proj=proj),
         grid=grid,
         in_specs=lead_specs + [tfsg_spec, tails_spec, ctx_spec, vm, vm,
                                *res_specs,
                                pl.BlockSpec((1, tile, s), rmap,
                                             memory_space=pltpu.VMEM),
-                               *embed_specs, *shift_specs],
+                               *embed_specs, *shift_specs, *proj_specs],
         out_specs=(
             dx_spec,
-            pl.BlockSpec((1, tile, r), rmap, memory_space=pltpu.VMEM),
-            vm, vm, vm, vm,
+            dctx_out_spec,
+            vm, vm, vm, vm, *proj_out_specs,
         ),
         out_shape=(
             dx_shape,
-            jax.ShapeDtypeStruct((batch, t_total, r), in_dtype),
+            dctx_shape,
             jax.ShapeDtypeStruct((n_layers * batch, 2 * r), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, w_in, 2 * r), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, r, r + s), jnp.float32),
             jax.ShapeDtypeStruct((n_layers, r + s), jnp.float32),
+            *proj_out_shapes,
         ),
         scratch_shapes=embed_scratch + h_scratch + [
             pltpu.VMEM((total2, r), jnp.float32),
@@ -1369,20 +1405,20 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
             pltpu.VMEM((n_layers, r + s), jnp.float32),
             pltpu.VMEM((n_layers, 2 * r), jnp.float32),
-        ] + carry_scratch,
+        ] + proj_scratch + carry_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(*lead_args, tfsg, tails, ctx_arg,
       jnp.swapaxes(w_fg, 1, 2), jnp.swapaxes(w_out, 1, 2), *res_args,
-      dskip, *embed_args, *([hsave] * len(big_layers)))
+      dskip, *embed_args, *([hsave] * len(big_layers)), *proj_args)
     return outs
 
 
 def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                        n_batch, in_dtype, ring_offs,
                        embed_vocab: int = 0, save_h: bool = True,
-                       layer_chunk=None):
+                       layer_chunk=None, ctx_proj: bool = False):
     """_bwd_kernel with explicit (padded) ring offsets.
 
     embed_vocab > 0: the layer-0 input gradient is contracted against
@@ -1420,14 +1456,21 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
         if embed_vocab:
             codes_ref, *rest = rest
         shift_refs = rest[:len(big_layers)]
+        rest = rest[len(big_layers):]
+        if ctx_proj:
+            xc_ref, wupt_ref, *rest = rest
         (dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
-         db_out_ref, *rest) = rest[len(big_layers):]
+         db_out_ref, *rest) = rest
+        if ctx_proj:
+            dwup_ref, *rest = rest
         if embed_vocab:
             dtab_acc, *rest = rest
         if not save_h:
             h_all, *rest = rest
         (dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
          dbfg_acc, *carries) = rest
+        if ctx_proj:
+            dwup_acc, *carries = carries
         if chunked:
             dh_carry = carries[0]
             dctx_carry = carries[1] if has_ctx else None
@@ -1450,6 +1493,9 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             dbout_acc[:, :] = jnp.zeros(dbout_acc.shape, jnp.float32)
             if embed_vocab:
                 dtab_acc[:, :] = jnp.zeros(dtab_acc.shape, jnp.float32)
+            if ctx_proj:
+                dwup_acc[:, :, :] = jnp.zeros(dwup_acc.shape,
+                                              jnp.float32)
 
         @pl.when(with_first_chunk(rj == 0))
         def _():
@@ -1565,7 +1611,28 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 dtab_acc[:, :] += _mdot_t0(oh2, dh, mdt)
             else:
                 dx_ref[0] = dh.astype(in_dtype)
-            if has_ctx:
+            if ctx_proj:
+                # final 10x upsample backward, in-VMEM: split the flat
+                # dctx into per-phase columns, contract against the
+                # coarse activation (ones-augmented: bias grad rides as
+                # an extra row) and against the per-phase transposed
+                # projection for the coarse input gradient
+                tc = tile // 10
+                dz3 = dctx_acc.reshape(tc, 10, r)
+                xcb = xc_ref[0].astype(mdt)            # (tc, R)
+                xc1 = jnp.concatenate(
+                    [xcb, jnp.ones((tc, 1), mdt)], axis=1)
+                dxc = jnp.zeros((tc, r), jnp.float32)
+                for p in range(10):
+                    dzp = dz3[:, p, :].astype(mdt)     # (tc, R)
+                    dwup_acc[p] += jax.lax.dot_general(
+                        xc1, dzp, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dxc = dxc + jnp.dot(
+                        dzp, wupt_ref[p].astype(mdt),
+                        preferred_element_type=jnp.float32)
+                dctx_ref[0] = dxc.astype(in_dtype)
+            elif has_ctx:
                 dctx_ref[0] = dctx_acc.astype(in_dtype)
             else:
                 dctx_ref[0] = jnp.zeros((tile, r), in_dtype)
@@ -1617,8 +1684,50 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             db_out_ref[:, :] = dbout_acc[:, :]
             if embed_vocab:
                 dx_ref[:, :] = dtab_acc[:, :].astype(dx_ref.dtype)
+            if ctx_proj:
+                dwup_ref[:, :, :] = dwup_acc[:, :, :]
 
     return kernel
+
+
+def ctx_is_proj(ctx) -> bool:
+    """True when ctx is the (xc, wup, bup) coarse-projection triple:
+    xc (B, T/10, R) pre-final-upsample video features, wup (R, 10R) /
+    bup (10R,) the final stride-10 upsample projection (the reference's
+    last ConvTranspose1d, wavenet.py:102-118).  The backward of the
+    projection then runs inside the trunk kernel (see _bwd_pallas)."""
+    return isinstance(ctx, (tuple, list)) and len(ctx) == 3
+
+
+def ctx_flatten(ctx, dtype):
+    """(xc, wup, bup) -> flat (B, T, R) conditioning, bit-identical to
+    the VideoEncoder's own final Dense + reshape."""
+    xc, wup, bup = ctx
+    b, tc, r = xc.shape
+    dtype = jnp.dtype(dtype)
+    prec = jax.lax.Precision.HIGHEST \
+        if dtype == jnp.dtype(jnp.float32) else None
+    z = jnp.dot(xc.astype(dtype), wup.astype(dtype), precision=prec,
+                preferred_element_type=dtype) + bup.astype(dtype)
+    return z.reshape(b, tc * 10, r)
+
+
+def _ctx_proj_args(ctx):
+    """(xc, wup_t) kernel inputs from the projection triple."""
+    xc, wup, _ = ctx
+    r = xc.shape[-1]
+    wup_t = wup.reshape(r, 10, r).transpose(1, 2, 0)   # (10, R, R): W_p^T
+    return xc, wup_t
+
+
+def _ctx_proj_grads(dwup_aug, ctx):
+    """Kernel (10, R+1, R) ones-augmented grad -> (dwup, dbup) matching
+    the flax Dense parameter shapes."""
+    xc, wup, bup = ctx
+    r = xc.shape[-1]
+    dwup = dwup_aug[:, :r, :].transpose(1, 0, 2).reshape(r, 10 * r)
+    dbup = dwup_aug[:, r, :].reshape(10 * r)
+    return dwup.astype(wup.dtype), dbup.astype(bup.dtype)
 
 
 # ------------------------------------------------------------ public op
@@ -1641,12 +1750,13 @@ def fused_stack(x, ctx, b_fg, w_fg, w_out, b_out, dilations: tuple,
     """
     mode = resolve_strategy(strategy, x.shape, len(dilations), dilations,
                             x.dtype.itemsize)
+    ctx_flat = ctx_flatten(ctx, x.dtype) if ctx_is_proj(ctx) else ctx
     if mode == "recompute":
-        skip, _ = _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out, b_out,
-                                    dilations, interpret)
+        skip, _ = _fwd_pallas_tails(x, ctx_flat, b_fg, w_fg, w_out,
+                                    b_out, dilations, interpret)
     else:
-        skip, _, _, _ = _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out,
-                                    dilations, interpret,
+        skip, _, _, _ = _fwd_pallas(x, ctx_flat, b_fg, w_fg, w_out,
+                                    b_out, dilations, interpret,
                                     save_h=mode != "replay")
     return skip
 
@@ -1655,32 +1765,65 @@ def _fs_fwd(x, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
             strategy):
     mode = resolve_strategy(strategy, x.shape, len(dilations), dilations,
                             x.dtype.itemsize)
+    proj = ctx_is_proj(ctx)
+    ctx_flat = ctx_flatten(ctx, x.dtype) if proj else ctx
     if mode == "recompute":
-        skip, tails = _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out,
+        skip, tails = _fwd_pallas_tails(x, ctx_flat, b_fg, w_fg, w_out,
                                         b_out, dilations, interpret)
-        return skip, (x, tails, ctx, b_fg, w_fg, w_out, b_out)
-    skip, hsave, tfsg, tails = _fwd_pallas(x, ctx, b_fg, w_fg, w_out,
-                                           b_out, dilations, interpret,
+        return skip, (x, tails, ctx_flat, b_fg, w_fg, w_out, b_out,
+                      ctx if proj else None)
+    skip, hsave, tfsg, tails = _fwd_pallas(x, ctx_flat, b_fg, w_fg,
+                                           w_out, b_out, dilations,
+                                           interpret,
                                            save_h=mode != "replay")
-    return skip, (x, hsave, tfsg, tails, ctx, w_fg, w_out, b_out)
+    return skip, (x, hsave, tfsg, tails, ctx_flat, w_fg, w_out, b_out,
+                  ctx if proj else None)
 
 
 def _fs_bwd(dilations, interpret, strategy, saved, dskip):
-    if len(saved) == 7:  # recompute mode residuals
-        x, tails, ctx, b_fg, w_fg, w_out, b_out = saved
+    if len(saved) == 8:  # recompute mode residuals
+        x, tails, ctx, b_fg, w_fg, w_out, b_out, proj_ctx = saved
         dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas_tails(
             x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip, dilations,
             interpret)
+        dwup_aug = None
     else:
-        x, hsave, tfsg, tails, ctx, w_fg, w_out, b_out = saved
-        dx, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
+        x, hsave, tfsg, tails, ctx, w_fg, w_out, b_out, proj_ctx = saved
+        cp = _ctx_proj_args(proj_ctx) if proj_ctx is not None else None
+        outs = _bwd_pallas(
             hsave, tfsg, tails, ctx, w_fg, w_out, dskip, dilations,
-            interpret, x=x, b_out=b_out)
-    if ctx is None:
+            interpret, x=x, b_out=b_out, ctx_proj=cp)
+        dx, dctx, db_fg, dw_fg, dw_out, db_out = outs[:6]
+        dwup_aug = outs[6] if proj_ctx is not None else None
+    if proj_ctx is not None:
+        if dwup_aug is None:
+            # tails path has no in-kernel projection backward: fold the
+            # flat dctx through the projection in XLA
+            dctx, dwup_aug = _ctx_proj_fold_xla(dctx, proj_ctx)
+        xc = proj_ctx[0]
+        dwup, dbup = _ctx_proj_grads(dwup_aug, proj_ctx)
+        dctx = (dctx.astype(xc.dtype), dwup, dbup)
+    elif ctx is None:
         dctx = None
     return (dx, dctx, db_fg.astype(jnp.float32),
             dw_fg.astype(w_fg.dtype), dw_out.astype(w_out.dtype),
             db_out.astype(jnp.float32))
+
+
+def _ctx_proj_fold_xla(dctx_flat, proj_ctx):
+    """Flat (B, T, R) dctx -> (dxc, ones-augmented (10, R+1, R) weight
+    grad) via XLA ops — the fallback when the kernel didn't fold the
+    projection backward itself."""
+    xc, wup, _ = proj_ctx
+    b, tc, r = xc.shape
+    dz = dctx_flat.astype(jnp.float32).reshape(b, tc, 10, r)
+    xcf = xc.astype(jnp.float32)
+    dw = jnp.einsum("bqe,bqpr->per", xcf, dz)          # (10, R, R)
+    db = dz.sum(axis=(0, 1))                           # (10, R)
+    dwup_aug = jnp.concatenate([dw, db[:, None, :]], axis=1)
+    wup3 = wup.astype(jnp.float32).reshape(r, 10, r)
+    dxc = jnp.einsum("bqpr,epr->bqe", dz, wup3)
+    return dxc, dwup_aug
 
 
 fused_stack.defvjp(_fs_fwd, _fs_bwd)
@@ -1715,8 +1858,10 @@ def fused_stack_embed(codes2_tb, table2, ctx, b_fg,
       skip_sum (B, T, S) in compute_dtype.
     """
     batch = b_fg.shape[0] // w_fg.shape[0]
+    ctx_flat = ctx_flatten(ctx, jnp.dtype(compute_dtype)) \
+        if ctx_is_proj(ctx) else ctx
     skip, _, _, _ = _fwd_pallas(
-        None, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
+        None, ctx_flat, b_fg, w_fg, w_out, b_out, dilations, interpret,
         embed=(codes2_tb, table2, batch), dtype=compute_dtype)
     return skip
 
@@ -1724,22 +1869,31 @@ def fused_stack_embed(codes2_tb, table2, ctx, b_fg,
 def _fse_fwd(codes2_tb, table2, ctx, b_fg, w_fg, w_out,
              b_out, dilations, compute_dtype, interpret):
     batch = b_fg.shape[0] // w_fg.shape[0]
+    proj = ctx_is_proj(ctx)
+    ctx_flat = ctx_flatten(ctx, jnp.dtype(compute_dtype)) if proj \
+        else ctx
     skip, hsave, tfsg, tails = _fwd_pallas(
-        None, ctx, b_fg, w_fg, w_out, b_out, dilations, interpret,
+        None, ctx_flat, b_fg, w_fg, w_out, b_out, dilations, interpret,
         embed=(codes2_tb, table2, batch), dtype=compute_dtype)
-    return skip, (hsave, tfsg, tails, ctx, w_fg, w_out, b_out,
-                  codes2_tb, table2)
+    return skip, (hsave, tfsg, tails, ctx_flat, w_fg, w_out, b_out,
+                  codes2_tb, table2, ctx if proj else None)
 
 
 def _fse_bwd(dilations, compute_dtype, interpret, saved, dskip):
     (hsave, tfsg, tails, ctx, w_fg, w_out, b_out,
-     codes2_tb, table2) = saved
+     codes2_tb, table2, proj_ctx) = saved
     vocab = table2.shape[0] // 2
-    dtab, dctx, db_fg, dw_fg, dw_out, db_out = _bwd_pallas(
+    cp = _ctx_proj_args(proj_ctx) if proj_ctx is not None else None
+    outs = _bwd_pallas(
         hsave, tfsg, tails, ctx, w_fg, w_out, dskip, dilations,
         interpret, embed=(codes2_tb, vocab, table2),
-        b_out=b_out)
-    if ctx is None:
+        b_out=b_out, ctx_proj=cp)
+    dtab, dctx, db_fg, dw_fg, dw_out, db_out = outs[:6]
+    if proj_ctx is not None:
+        xc = proj_ctx[0]
+        dwup, dbup = _ctx_proj_grads(outs[6], proj_ctx)
+        dctx = (dctx.astype(xc.dtype), dwup, dbup)
+    elif ctx is None:
         dctx = None
     return (None, dtab.astype(table2.dtype), dctx,
             db_fg.astype(jnp.float32), dw_fg.astype(w_fg.dtype),
