@@ -151,3 +151,77 @@ def test_pallas_fast_mode_video(rng_np):
                                       temperature=0.0, video=video,
                                       interpret=True, fast=True))
     np.testing.assert_array_equal(fast, exact)
+
+
+def test_pallas_speculative_matches_exact_random(rng_np):
+    """Miss-dominated regime (random weights): output must be
+    bit-identical to the exact kernel anyway."""
+    model, variables = _model()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)), jnp.int32)
+    n = rf + 161  # odd count: exercises the final-sample hit guard
+    want = np.asarray(pallas_generate(model, variables, prompt, n,
+                                      temperature=0.0, interpret=True))
+    got = np.asarray(pallas_generate(model, variables, prompt, n,
+                                     temperature=0.0, interpret=True,
+                                     speculative=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_speculative_matches_exact_trained(rng_np):
+    """Hit-rich regime: a sine-overfit model whose greedy continuation
+    the prompt 2-gram table predicts well — exercises the spec ring
+    commits and double emission, which must stay bit-identical."""
+    import optax
+
+    from movenet_tpu.data.preprocess import mu_law_encode_np
+
+    cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=32,
+                      residual_channels=16, skip_channels=16,
+                      compute_dtype="float32")
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields
+    wave = np.sin(np.arange(0, 60, 0.15))            # 400 samples
+    codes = mu_law_encode_np(wave, 32)
+    cj = jnp.asarray(np.tile(codes[None], (2, 1)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), cj)
+    params = variables["params"]
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, cj,
+                             method=model.train_logits)
+        tgt = cj[:, rf:]
+        nll = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+            logits, tgt[..., None], -1)[..., 0]
+        return nll.mean()
+
+    step = jax.jit(lambda p, o: (lambda g: tx.update(g, o, p))(
+        jax.grad(loss_fn)(p)))
+    for _ in range(150):
+        updates, opt = step(params, opt)
+        params = optax.apply_updates(params, updates)
+    trained = {"params": params}
+
+    prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    n = rf + 200
+    want = np.asarray(pallas_generate(model, trained, prompt, n,
+                                      temperature=0.0, interpret=True))
+    got = np.asarray(pallas_generate(model, trained, prompt, n,
+                                     temperature=0.0, interpret=True,
+                                     speculative=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_speculative_rejects_unsupported(rng_np):
+    model, variables = _model()
+    rf = model.receptive_fields
+    p2 = jnp.asarray(rng_np.integers(0, 32, size=(2, rf)), jnp.int32)
+    with pytest.raises(ValueError, match="speculative"):
+        pallas_generate(model, variables, p2, rf + 8, temperature=0.0,
+                        interpret=True, speculative=True)
+    p1 = p2[:1]
+    with pytest.raises(ValueError, match="speculative"):
+        pallas_generate(model, variables, p1, rf + 8, temperature=0.7,
+                        interpret=True, speculative=True)
