@@ -68,6 +68,7 @@ class DataLoader:
         prefetch_batches: int = 2,
         context_to_id=None,
         native_pipeline: str = "auto",
+        host_pack: bool = False,
     ):
         if len(index) == 0:
             raise ValueError(f"empty dataset index under {index.root}")
@@ -85,6 +86,7 @@ class DataLoader:
         self.max_audio_frames = max_audio_frames
         self.max_video_frames = max_video_frames
         self.prefetch_batches = prefetch_batches
+        self.host_pack = host_pack
         # class-id mapping should come from the FULL (unsharded) index so
         # ids are consistent across processes; get_dataloader passes it
         self.context_to_id = (context_to_id if context_to_id is not None
@@ -331,7 +333,19 @@ class DataLoader:
             labels = labels.reshape(a, self.batch_size)
             if video is not None:
                 video = video.reshape(a, self.batch_size, *video.shape[1:])
-        return Batch(codes=codes, video=video, labels=labels)
+        pack = None
+        if self.host_pack:
+            # (T, 3B) int16 fused-kernel codes pack, computed on the
+            # worker thread so the device skips the relayout
+            from movenet_tpu.models.fused import codes_pack_np
+
+            if a > 1:
+                pack = np.stack([codes_pack_np(codes[i])
+                                 for i in range(a)])
+            else:
+                pack = codes_pack_np(codes)
+        return Batch(codes=codes, video=video, labels=labels,
+                     codes_pack=pack)
 
     def meta_batches(self) -> Iterator[List[Example]]:
         """Raw Example groups (for sample-export callbacks that need

@@ -72,6 +72,19 @@ def _fe_bwd(dt, vocab, saved, dh):
 _front_embed.defvjp(_fe_fwd, _fe_bwd)
 
 
+def _ctx_proj_tile_ok(model: WaveNet, t: int) -> bool:
+    """The in-kernel projection backward needs the whole-stack kernel
+    tile to hold whole groups of 10 (the bwd splits its dctx tile into
+    per-phase columns)."""
+    from movenet_tpu.ops.pallas.stack_kernel import pick_stack_tile
+
+    try:
+        tile = pick_stack_tile(t, tuple(model.dilations))
+    except ValueError:
+        return False
+    return tile % 10 == 0
+
+
 def _prepare_trunk(model: WaveNet, params, codes, video, labels,
                    want_h: bool = True):
     """Shared prologue: encoders + front embedding + per-layer packed
@@ -99,7 +112,7 @@ def _prepare_trunk(model: WaveNet, params, codes, video, labels,
         from movenet_tpu.models.wavenet import video_upsample_sizes
 
         up_name = None
-        if t % 10 == 0:
+        if t % 10 == 0 and _ctx_proj_tile_ok(model, t):
             sizes = video_upsample_sizes(model.max_video_frames,
                                          model.max_audio_frames)
             up_name = f"upsample_{len(sizes) - 2}"
@@ -291,10 +304,31 @@ def _merged_loss(model: WaveNet, params, codes, video, labels,
         dilations, model.receptive_fields, parity, interpret)
 
 
+def codes_pack_np(codes) -> "np.ndarray":
+    """Host-side (numpy) twin of _codes_pack: (B, T) int -> (T, 3B)
+    int32.  Computed in dataloader workers so the device never pays the
+    relayout write; same values as the in-device pack
+    (tests/test_fused_model.py).  Stays int32 — an int16 jit INPUT
+    arrives in the T(16,128) parameter tiling and XLA inserts a full
+    relayout copy to Mosaic's T(8,128)(2,1) operand tiling (measured:
+    the copy costs exactly what the pack op did); int32 parameter and
+    operand tilings agree, so the array streams straight into the
+    kernel."""
+    import numpy as np
+
+    b = codes.shape[0]
+    c = np.asarray(codes, np.int32)
+    prev = np.concatenate(
+        [np.full((b, 1), -1, np.int32), c[:, :-1]], axis=1)
+    tgt = np.roll(c, -1, axis=1)
+    return np.ascontiguousarray(
+        np.concatenate([c, prev, tgt], axis=0).T)
+
+
 def fused_train_loss(model: WaveNet, params, codes: jnp.ndarray,
                      video=None, labels=None, parity: bool = True,
                      interpret: bool = False,
-                     merge_head: bool = False):
+                     merge_head: bool = False, codes_pack=None):
     """codes -> (mean NLL, accuracy), fully kernelized: fused trunk +
     fused head/CE (logits never materialize in HBM).
 
@@ -318,8 +352,13 @@ def fused_train_loss(model: WaveNet, params, codes: jnp.ndarray,
             n_valid = b * (t - model.receptive_fields)
             return loss_sum / n_valid, match / n_valid
     # one packed (T, 3B) relayout carries codes + prev + targets for
-    # both the trunk and the head kernel
-    pack3 = _codes_pack(codes, with_targets=True)
+    # both the trunk and the head kernel; a host-precomputed pack
+    # (codes_pack_np) skips the on-device relayout entirely
+    if codes_pack is not None and \
+            codes_pack.shape == (codes.shape[1], 3 * b):
+        pack3 = codes_pack
+    else:
+        pack3 = _codes_pack(codes, with_targets=True)
     skip_sum = _fused_trunk(model, params, codes, video, labels,
                             interpret, codes_pack=pack3)
     loss_sum, match = fused_head_loss(

@@ -144,6 +144,14 @@ def supports_recompute(t: int, dilations) -> bool:
 # bf16-plus-casts, so f32 stays.  The do_layer/tails restructure is
 # operand-dtype-generic and identical to the old code at f32.
 _BWD_OPERAND_DT = jnp.float32
+# split the fg wgrad into per-operand-block matmuls (skips the
+# (tile, W_in+1) hp concat, a full-tile VPU copy per layer, for one
+# extra MXU M-chunk).  BUILT AND DISPROVEN on v5e (breakdancing
+# config): 11.79 vs 11.36 ms/step — the extra M-chunk at f32 operands
+# (multi-pass MXU) costs more than the concat's VPU copy saves.  Row
+# blocks of a wgrad are contraction-independent, so both forms are
+# bit-identical; kept behind the flag for narrower-channel configs.
+_BWD_SPLIT_WGRAD = False
 
 # hsave above this budget flips the auto strategy to tails-recompute
 _SAVE_ALL_BUDGET_BYTES = 1 << 30
@@ -1552,14 +1560,6 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 shifted = jnp.concatenate(
                     [tails_ref[0, 0, pl.ds(tail_offs[l], d), :].astype(
                         mdt), h[: tile - d, :]], axis=0)
-            # ones-column augmentation: the bias gradients ride the
-            # wgrad matmuls as an extra output row (M 192->193 and
-            # 64->65 stay within the same MXU chunk counts), replacing
-            # two full-tile reduces per layer (-0.6 ms/step measured,
-            # scripts/exp_trunk_bwd.py 'fold_bias')
-            parts = [h, shifted] + ([ctx] if has_ctx else []) \
-                + [ones_col]
-            hp = jnp.concatenate(parts, axis=1)   # (tile, W_in+1) mdt
             v = tfsg_ref[l_loc, 0].astype(jnp.float32)
 
             dout = jnp.concatenate([dh, dskip], axis=1)
@@ -1569,11 +1569,43 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
             gated, dfg = _dfg_from_v(v, dgated, r)
             dfg_m = dfg.astype(mdt)               # shared by 2 matmuls
 
-            wf = jax.lax.dot_general(             # (W_in+1, 2R)
-                hp, dfg_m, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwfg_acc[l] += wf[:w_in]
-            dbfg_acc[pl.ds(l, 1), :] += wf[w_in: w_in + 1]
+            if _BWD_SPLIT_WGRAD:
+                # per-block wgrad matmuls instead of one hp concat: the
+                # (tile, W_in+1) concat is a full-tile VPU copy per
+                # layer, while wgrad output rows are independent per
+                # operand block — [h|ones] (M 65->128), shifted
+                # (64->128), ctx (64->128) cost one extra M-chunk vs
+                # the concat's 193->256 but skip the copy entirely
+                h1 = jnp.concatenate([h, ones_col], axis=1)
+                wf_h = jax.lax.dot_general(       # (R+1, 2R)
+                    h1, dfg_m, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                wf_s = jax.lax.dot_general(       # (R, 2R)
+                    shifted, dfg_m, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dwfg_acc[l, :r] += wf_h[:r]
+                dwfg_acc[l, r:2 * r] += wf_s
+                if has_ctx:
+                    wf_c = jax.lax.dot_general(   # (R, 2R)
+                        ctx, dfg_m, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dwfg_acc[l, 2 * r:] += wf_c
+                dbfg_acc[pl.ds(l, 1), :] += wf_h[r: r + 1]
+            else:
+                # ones-column augmentation: the bias gradients ride the
+                # wgrad matmuls as an extra output row (M 192->193 and
+                # 64->65 stay within the same MXU chunk counts),
+                # replacing two full-tile reduces per layer (-0.6
+                # ms/step measured, scripts/exp_trunk_bwd.py
+                # 'fold_bias')
+                parts = [h, shifted] + ([ctx] if has_ctx else []) \
+                    + [ones_col]
+                hp = jnp.concatenate(parts, axis=1)  # (tile, W_in+1)
+                wf = jax.lax.dot_general(         # (W_in+1, 2R)
+                    hp, dfg_m, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dwfg_acc[l] += wf[:w_in]
+                dbfg_acc[pl.ds(l, 1), :] += wf[w_in: w_in + 1]
             go = jnp.concatenate([gated.astype(mdt), ones_col], axis=1)
             wo = jax.lax.dot_general(             # (R+1, R+S)
                 go, dout_m, (((0,), (0,)), ((), ())),

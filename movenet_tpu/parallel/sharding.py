@@ -83,7 +83,15 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
         jax.device_put(batch.video, sh.video)
     labels = None if batch.labels is None else \
         jax.device_put(batch.labels, sh.labels)
-    return Batch(codes=codes, video=video, labels=labels)
+    pack = None
+    if batch.codes_pack is not None and len(mesh.devices.flat) == 1:
+        # host-precomputed fused-kernel pack: single-device only (its
+        # batch dim lives in lanes and cannot shard; mesh paths rebuild
+        # per-shard packs in-device)
+        pack = jax.device_put(batch.codes_pack,
+                              NamedSharding(mesh, P()))
+    return Batch(codes=codes, video=video, labels=labels,
+                 codes_pack=pack)
 
 
 def make_parallel_train_step(model, config, mesh: Mesh,

@@ -41,6 +41,11 @@ class Batch(struct.PyTreeNode):
     codes: jnp.ndarray                       # (B, T) or (A, B, T) int32
     video: Optional[jnp.ndarray] = None      # (B, F, H, W, C) float or None
     labels: Optional[jnp.ndarray] = None     # (B,) int32 class ids or None
+    # optional host-precomputed (T, 3B) int32 fused-kernel codes pack
+    # (models.fused.codes_pack_np); saves the on-device relayout.
+    # Single-device fused path only — the mesh paths recompute their
+    # per-shard packs in-device.
+    codes_pack: Optional[jnp.ndarray] = None
 
 
 class TrainState(train_state.TrainState):
@@ -83,7 +88,8 @@ def _loss_and_metrics(model: WaveNet, parity: bool,
 
             return fused_train_loss(model, params, batch.codes,
                                     batch.video, labels, parity=parity,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    codes_pack=batch.codes_pack)
         logits = model.apply(
             {"params": params}, batch.codes, batch.video, labels,
             method=WaveNet.train_logits)
@@ -149,6 +155,10 @@ def _shard_map_loss(loss_fn, mesh):
                 jax.lax.pmean(acc, DATA_AXIS))
 
     def wrapped(params, batch: Batch):
+        if batch.codes_pack is not None:
+            # the pack's batch dim lives in lanes; each shard rebuilds
+            # its local pack in-device instead
+            batch = batch.replace(codes_pack=None)
         lead = (None,) * (batch.codes.ndim - 2)
         specs = Batch(
             codes=P(*lead, DATA_AXIS, None),

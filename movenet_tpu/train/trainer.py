@@ -130,6 +130,8 @@ def _stack_batches(bs) -> Batch:
                else np.stack([b.video for b in bs])),
         labels=(None if bs[0].labels is None
                 else np.stack([b.labels for b in bs])),
+        codes_pack=(None if bs[0].codes_pack is None
+                    else np.stack([b.codes_pack for b in bs])),
     )
 
 
@@ -202,6 +204,14 @@ def train_model(
         batch_size=config.batch_size,
         use_video=config.use_video,
         accumulation_steps=config.accumulation_steps,
+        # host-side (T, 3B) codes pre-pack: BUILT AND DISPROVEN on v5e
+        # — a jit input array pays a parameter->Mosaic retiling copy
+        # that costs exactly what the in-jit pack op does (measured
+        # 0.127 ms either way; s16 inputs additionally retile from
+        # T(16,128)).  The mechanism stays (loader flag + Batch field +
+        # fused_train_loss arg, bit-equality tested) for environments
+        # where parameter layouts line up, but off by default.
+        host_pack=False,
         max_audio_frames=mc.max_audio_frames,
         max_video_frames=mc.max_video_frames,
         process_index=jax.process_index(),

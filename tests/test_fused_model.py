@@ -117,3 +117,34 @@ def test_fused_train_loss_matches_unfused(video, merge_head, rng_np):
             f"systematic gradient bias {bias:.3e} vs scale {scale:.3e}"
 
     jax.tree.map(close, gf, gu)
+
+
+def test_codes_pack_np_matches_device_pack(rng_np):
+    """Host (numpy) pack must be bit-identical to the in-device pack —
+    the loader ships it straight into the fused kernels."""
+    from movenet_tpu.models.fused import _codes_pack, codes_pack_np
+
+    codes = rng_np.integers(0, 64, size=(3, 40))
+    dev = np.asarray(_codes_pack(jnp.asarray(codes, jnp.int32),
+                                 with_targets=True))
+    host = codes_pack_np(codes)
+    assert host.dtype == np.int32  # s16 inputs pay a retiling copy
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_fused_train_loss_accepts_host_pack(rng_np):
+    from movenet_tpu.models.fused import codes_pack_np, fused_train_loss
+
+    mc = ModelConfig(layer_size=2, stack_size=2, input_channels=16,
+                     residual_channels=8, skip_channels=8,
+                     compute_dtype="float32", max_audio_frames=1024,
+                     max_video_frames=1)
+    model = make_wavenet(mc)
+    codes = rng_np.integers(0, 16, size=(2, 1024))
+    cj = jnp.asarray(codes, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), cj)["params"]
+    l0, a0 = fused_train_loss(model, params, cj, interpret=True)
+    l1, a1 = fused_train_loss(
+        model, params, cj, interpret=True,
+        codes_pack=jnp.asarray(codes_pack_np(codes)))
+    assert float(l0) == float(l1) and float(a0) == float(a1)
