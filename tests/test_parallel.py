@@ -229,3 +229,36 @@ def test_dp_with_video_and_accumulation():
             video=shard_batch(mesh, Batch(
                 codes=batch.codes[0], video=batch.video[0])).video))
     assert np.isfinite(float(em["loss"]))
+
+
+def test_fused_shard_map_with_video_ctx_proj():
+    """Fused shard_map over the data mesh WITH video conditioning at a
+    tile where the in-kernel upsample-projection backward (ctx_proj)
+    is active: per-shard kernels each fold their own projection VJP,
+    and the psum'd gradients must still match the XLA step."""
+    import dataclasses
+
+    # t=3200: % 128 == 0 for the fused path, stack tile 1600
+    # (divisible by 10) -> ctx_proj active
+    model, cfg, state, batch = _setup(batch=4, t=3200, video=True,
+                                      mesh_data=4)
+    fused_cfg = dataclasses.replace(cfg, fused_blocks=True,
+                                    fused_interpret=True)
+    mesh = create_mesh(MeshConfig(data=4, seq=1),
+                       devices=jax.devices()[:4])
+    with mesh:
+        xla_step = make_parallel_train_step(model, cfg, mesh,
+                                            has_video=True)
+        s_x, m_x = xla_step(state, shard_batch(mesh, batch))
+        fused_step = make_parallel_train_step(model, fused_cfg, mesh,
+                                              has_video=True)
+        s_f, m_f = fused_step(state, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_f["grad_norm"]),
+                               float(m_x["grad_norm"]), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s_f.params, s_x.params)
