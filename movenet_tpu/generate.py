@@ -77,6 +77,7 @@ def generate_from_checkpoint(
     seed: int = 0,
     parity_sampling: bool = True,
     fast: bool = True,
+    speculative: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -129,12 +130,18 @@ def generate_from_checkpoint(
     if on_tpu and prompt.shape[0] in (1, 2, 4, 8):
         # fast=True: short-critical-path weight products (default; see
         # ops/pallas/ar_sampler.stack_fast_weights) — ~1.3x throughput,
-        # fp-reassociated (not bit-identical to the exact kernel)
+        # fp-reassociated (not bit-identical to the exact kernel).
+        # speculative=True: B=1 greedy EXACT decoding with the
+        # 2-steps-per-chain wavefront kernel (bit-identical output;
+        # trained-model speedup scales with prompt predictability)
+        spec_ok = (speculative and prompt.shape[0] == 1
+                   and temperature == 0.0 and video is None)
         codes = pallas_generate(model, variables, prompt, n,
                                 temperature=temperature, seed=seed,
                                 video=video, labels=labels,
                                 parity_sampling=parity_sampling,
-                                fast=fast)
+                                fast=fast and not spec_ok,
+                                speculative=spec_ok)
     else:
         codes = fast_generate(model, variables, prompt, n,
                               temperature=temperature,
@@ -173,13 +180,19 @@ def main(argv=None):
                     default=True,
                     help="short-critical-path kernel (1: default); "
                          "0 = bit-exact kernel")
+    ap.add_argument("--speculative", type=lambda x: bool(int(x)),
+                    default=False,
+                    help="B=1 greedy only: speculative-wavefront EXACT "
+                         "kernel (bit-identical output, hit-rate-"
+                         "dependent speedup on trained models)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=Path, default=Path("generated"))
     args = ap.parse_args(argv)
     written = generate_from_checkpoint(
         args.checkpoint, args.dataset, args.n_samples, args.temperature,
         args.batch_size, args.use_video, args.out, args.seed,
-        args.parity_sampling, fast=args.fast_sampler)
+        args.parity_sampling, fast=args.fast_sampler,
+        speculative=args.speculative)
     for kind, paths in written.items():
         for p in paths:
             print(p)
