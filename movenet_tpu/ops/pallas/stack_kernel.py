@@ -686,12 +686,11 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
                 dh = dh + dfgp_ring[pl.ds(slot, tile), :]
                 dfgp_ring[pl.ds(slot, tile), :] = dfg_p
             else:
-                saved = dfgp_ring[pl.ds(off, tile), :]
-                future = jnp.where(row < tile - d,
-                                   pltpu.roll(dfg_p, tile - d, 0),
-                                   pltpu.roll(saved, tile - d, 0))
+                # d-row anti-causal carry (see _bwd_pallas)
+                saved = dfgp_ring[pl.ds(off, d), :]
+                future = jnp.concatenate([dfg_p[d:], saved], axis=0)
                 dh = dh + future
-                dfgp_ring[pl.ds(off, tile), :] = dfg_p
+                dfgp_ring[pl.ds(off, d), :] = dfg_p[:d]
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
 
@@ -732,10 +731,8 @@ def _bwd_pallas_head(hsave, tfsg, tails, ctx, w_fg, w_out, skip,
     n_tiles = t_total // tile
     w_in = w_fg.shape[1]
     small_pad = tails.shape[2]
-    offs2, total2 = [], 0
-    for d in dilations:
-        offs2.append(total2)
-        total2 += max(d, tile)
+    # d-row anti-causal carry slots (see _bwd_pallas)
+    offs2, total2 = _ring_offsets(dilations)
 
     def rmap(b, j):
         return (b, n_tiles - 1 - j, 0)
@@ -802,7 +799,7 @@ def _bwd_pallas_head(hsave, tfsg, tails, ctx, w_fg, w_out, skip,
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((total2, r), jnp.float32),
+            pltpu.VMEM((max(8, total2), r), jnp.float32),
             pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
             pltpu.VMEM((n_layers, r + s), jnp.float32),
@@ -1083,12 +1080,11 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
                             preferred_element_type=jnp.float32)
             dh = dh + dfg_w[:, :r]
             dfg_p = dfg_w[:, r: 2 * r]
-            saved = dfgp_ring[pl.ds(l * tile, tile), :]
-            future = jnp.where(row < tile - d,
-                               pltpu.roll(dfg_p, tile - d, 0),
-                               pltpu.roll(saved, tile - d, 0))
+            # d-row anti-causal carry (see _bwd_pallas)
+            saved = dfgp_ring[pl.ds(offs[l], d), :]
+            future = jnp.concatenate([dfg_p[d:], saved], axis=0)
             dh = dh + future
-            dfgp_ring[pl.ds(l * tile, tile), :] = dfg_p
+            dfgp_ring[pl.ds(offs[l], d), :] = dfg_p[:d]
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
 
@@ -1167,7 +1163,8 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
         ),
         scratch_shapes=[
             pltpu.VMEM((n_layers, tile, r), jnp.float32),   # hstack
-            pltpu.VMEM((n_layers * tile, r), jnp.float32),  # dfgp rings
+            # d-row anti-causal carry slots (see _bwd_pallas)
+            pltpu.VMEM((max(8, sum(dilations)), r), jnp.float32),
             pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
             pltpu.VMEM((n_layers, r + s), jnp.float32),
@@ -1246,11 +1243,15 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
     proj = ctx_proj is not None
     assert not proj or (has_ctx and tile % 10 == 0 and
                         t_total % 10 == 0)
-    # anti-causal rings need at least `tile` rows per layer
-    offs2, total2 = [], 0
-    for d in dilations:
-        offs2.append(total2)
-        total2 += max(d, tile)
+    # anti-causal carry: only the d rows of dfg_p that cross a tile
+    # boundary persist between grid steps (rows [0, d) of the
+    # later-time tile land at rows [tile-d, tile) of the next one
+    # processed), so each layer's ring slot is d rows — for d >= tile
+    # the whole d-row window (d % tile == 0 by pick_stack_tile).  The
+    # former max(d, tile) slots cost 9 full-tile ring reads+writes per
+    # grid step (~1.4 GB/step of VMEM traffic on the breakdancing
+    # config) for the same exchanged values.
+    offs2, total2 = _ring_offsets(dilations)
 
     # layer-chunked streaming (save mode): stream ck layers of
     # hsave/tfsg per grid step instead of the whole (~46 MB) per-tile
@@ -1408,7 +1409,7 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
             *proj_out_shapes,
         ),
         scratch_shapes=embed_scratch + h_scratch + [
-            pltpu.VMEM((total2, r), jnp.float32),
+            pltpu.VMEM((max(8, total2), r), jnp.float32),
             pltpu.VMEM((n_layers, w_in, 2 * r), jnp.float32),
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
             pltpu.VMEM((n_layers, r + s), jnp.float32),
@@ -1622,12 +1623,14 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 dh = dh + dfgp_ring[pl.ds(slot, tile), :]
                 dfgp_ring[pl.ds(slot, tile), :] = dfg_p
             else:
-                saved = dfgp_ring[pl.ds(off, tile), :]
-                future = jnp.where(row < tile - d,
-                                   pltpu.roll(dfg_p, tile - d, 0),
-                                   pltpu.roll(saved, tile - d, 0))
+                # rows [d, tile) of dfg_p flow within the tile; rows
+                # [0, d) cross to the previous-time tile and ride the
+                # d-row ring slot (same values the old full-tile
+                # roll+select exchanged, bit-identically)
+                saved = dfgp_ring[pl.ds(off, d), :]
+                future = jnp.concatenate([dfg_p[d:], saved], axis=0)
                 dh = dh + future
-                dfgp_ring[pl.ds(off, tile), :] = dfg_p
+                dfgp_ring[pl.ds(off, d), :] = dfg_p[:d]
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
             return dh, dctx_acc
