@@ -254,6 +254,8 @@ def _trained_model_record():
                            == "bit-equal")
         check["spec_exact_samples_per_sec"] = round(
             timed_rate(speculative=True), 2)
+        check["spec_fast_samples_per_sec"] = round(
+            timed_rate(speculative=True, fast=True), 2)
         check["exact_samples_per_sec_trained"] = round(
             timed_rate(), 2)
     except Exception as e:  # pragma: no cover - surface, don't fail

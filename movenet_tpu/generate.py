@@ -140,8 +140,7 @@ def generate_from_checkpoint(
                                 temperature=temperature, seed=seed,
                                 video=video, labels=labels,
                                 parity_sampling=parity_sampling,
-                                fast=fast and not spec_ok,
-                                speculative=spec_ok)
+                                fast=fast, speculative=spec_ok)
     else:
         codes = fast_generate(model, variables, prompt, n,
                               temperature=temperature,

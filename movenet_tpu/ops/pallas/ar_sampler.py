@@ -379,7 +379,7 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
 
 
 def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
-                      r: int, s: int):
+                      r: int, s: int, fast: bool = False):
     """Speculative-wavefront EXACT sampler (B=1, greedy, no video).
 
     Runs step t's chain and a speculative step-(t+1) chain skewed by
@@ -398,21 +398,28 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
     """
     offsets = np.concatenate([[0], np.cumsum(dilations)[:-1]]).tolist()
     n_layers = len(dilations)
+    dot = (functools.partial(jnp.dot,
+                             preferred_element_type=jnp.float32)
+           if fast else _dot)
 
     def kernel(init_codes_ref, buf_init_ref, t2_ref,
                front_cur_ref, front_past_ref,
                w_fg_ref, b_fg_ref, w_out_ref, b_out_ref,
-               h1_w_ref, h1_b_ref, h2_w_ref, h2_b_ref,
-               out_ref, buf_ref):
+               h1_w_ref, h1_b_ref, h2_w_ref, h2_b_ref, *rest):
+        if fast:
+            (fc0_ref, fp0_ref, w_p0c_ref, w_prod_ref,
+             out_ref, buf_ref) = rest
+        else:
+            out_ref, buf_ref = rest
         buf_ref[:, :] = buf_init_ref[:, :]
         col_iota_f = jax.lax.broadcasted_iota(
             jnp.int32, (1, c_in), 1).astype(jnp.float32)
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
         def head(skip_sum):
-            y = _dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :]) \
+            y = dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :]) \
                 + h1_b_ref[pl.ds(0, 1), :]
-            return _dot(jax.nn.leaky_relu(y), h2_w_ref[:, :]) \
+            return dot(jax.nn.leaky_relu(y), h2_w_ref[:, :]) \
                 + h2_b_ref[pl.ds(0, 1), :]
 
         def argmax_col(scores):
@@ -423,47 +430,108 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
         def body(carry):
             t, prev_oh, cur_col_f, out_row = carry
             code_oh = (col_iota_f == cur_col_f).astype(jnp.float32)
-            h = _dot(code_oh, front_cur_ref[:, :]) \
-                + _dot(prev_oh, front_past_ref[:, :])
+            h = dot(code_oh, front_cur_ref[:, :]) \
+                + dot(prev_oh, front_past_ref[:, :])
             # 2-gram guess for x_{t+1}; -1 table rows one-hot to zeros
             # and naturally miss
             g_col_f = _dot(code_oh, t2_ref[:, :])            # (1, 1)
             g_oh = (col_iota_f == g_col_f).astype(jnp.float32)
-            hs = _dot(g_oh, front_cur_ref[:, :]) \
-                + _dot(code_oh, front_past_ref[:, :])
+            hs = dot(g_oh, front_cur_ref[:, :]) \
+                + dot(code_oh, front_past_ref[:, :])
+
+            def slot_of(l, tt):
+                return offsets[l] + jax.lax.rem(tt, dilations[l])
 
             skip_sum = jnp.zeros((1, s), jnp.float32)
             skip_sum_s = jnp.zeros((1, s), jnp.float32)
             spec_writes = []
-            for l in range(n_layers):
-                d = dilations[l]
-                slot_r = offsets[l] + jax.lax.rem(t, d)
-                past = buf_ref[pl.ds(slot_r, 1), :]
-                fg = _dot(jnp.concatenate([h, past], axis=1),
-                          w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
-                gated = jnp.tanh(fg[:, :r]) * jax.nn.sigmoid(fg[:, r:])
-                outl = _dot(gated, w_out_ref[l]) \
-                    + b_out_ref[pl.ds(l, 1), :]
-                # spec layer l, one behind: its past tap at t+1 is the
-                # real chain's layer-l input for d == 1, ring state
-                # (untouched this iteration) otherwise
-                if d == 1:
-                    past_s, slot_s = h, slot_r
-                else:
-                    slot_s = offsets[l] + jax.lax.rem(t + 1, d)
-                    past_s = buf_ref[pl.ds(slot_s, 1), :]
-                fg_s = _dot(jnp.concatenate([hs, past_s], axis=1),
-                            w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
-                gated_s = jnp.tanh(fg_s[:, :r]) \
-                    * jax.nn.sigmoid(fg_s[:, r:])
-                outl_s = _dot(gated_s, w_out_ref[l]) \
-                    + b_out_ref[pl.ds(l, 1), :]
-                buf_ref[pl.ds(slot_r, 1), :] = h
-                spec_writes.append((slot_s, hs))
-                skip_sum = skip_sum + outl[:, r:]
-                skip_sum_s = skip_sum_s + outl_s[:, r:]
-                h = outl[:, :r] + h
-                hs = outl_s[:, :r] + hs
+            if fast:
+                # fast-chain wavefront: same packed-tanh short-critical
+                # -path structure as _make_kernel's fast branch, twice,
+                # skewed by one layer; the spec fgp/pre pair reads the
+                # real chain's layer-(l+1) input for its d==1 tap
+                def fg_of(l, h_in, past_in):
+                    return dot(jnp.concatenate([h_in, past_in], 1),
+                               w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
+
+                past0 = buf_ref[pl.ds(slot_of(0, t), 1), :]
+                fg = dot(code_oh, fc0_ref[:, :]) \
+                    + (dot(prev_oh, fp0_ref[:, :])
+                       + dot(past0, w_p0c_ref[:, :])
+                       + b_fg_ref[pl.ds(0, 1), :])
+                # layer-0 tap at t+1 (d == 1) is the real front embed h
+                fg_s = dot(g_oh, fc0_ref[:, :]) \
+                    + (dot(code_oh, fp0_ref[:, :])
+                       + dot(h, w_p0c_ref[:, :])
+                       + b_fg_ref[pl.ds(0, 1), :])
+                for l in range(n_layers):
+                    slot_l = slot_of(l, t)
+                    d = dilations[l]
+                    slot_s = slot_l if d == 1 else slot_of(l, t + 1)
+                    v = jnp.tanh(fg)
+                    gated = v[:, :r] * v[:, r:] + v[:, :r]
+                    v_s = jnp.tanh(fg_s)
+                    gated_s = v_s[:, :r] * v_s[:, r:] + v_s[:, :r]
+                    bo = b_out_ref[pl.ds(l, 1), :]
+                    outl = dot(gated, w_out_ref[l]) + bo
+                    outl_s = dot(gated_s, w_out_ref[l]) + bo
+                    if l + 1 < n_layers:
+                        fgp = dot(gated, w_prod_ref[l])     # critical
+                        fgp_s = dot(gated_s, w_prod_ref[l])
+                        d1 = dilations[l + 1]
+                        past_n = buf_ref[pl.ds(slot_of(l + 1, t), 1), :]
+                        pre = fg_of(l + 1, h, past_n)
+                        h_next = outl[:, :r] + h
+                        if d1 == 1:
+                            past_ns = h_next
+                        else:
+                            past_ns = buf_ref[
+                                pl.ds(slot_of(l + 1, t + 1), 1), :]
+                        pre_s = fg_of(l + 1, hs, past_ns)
+                        buf_ref[pl.ds(slot_l, 1), :] = h
+                        spec_writes.append((slot_s, hs))
+                        skip_sum = skip_sum + outl[:, r:]
+                        skip_sum_s = skip_sum_s + outl_s[:, r:]
+                        h = h_next
+                        hs = outl_s[:, :r] + hs
+                        fg = fgp + pre
+                        fg_s = fgp_s + pre_s
+                    else:
+                        buf_ref[pl.ds(slot_l, 1), :] = h
+                        spec_writes.append((slot_s, hs))
+                        skip_sum = skip_sum + outl[:, r:]
+                        skip_sum_s = skip_sum_s + outl_s[:, r:]
+            else:
+                for l in range(n_layers):
+                    d = dilations[l]
+                    slot_r = slot_of(l, t)
+                    past = buf_ref[pl.ds(slot_r, 1), :]
+                    fg = _dot(jnp.concatenate([h, past], axis=1),
+                              w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
+                    gated = jnp.tanh(fg[:, :r]) \
+                        * jax.nn.sigmoid(fg[:, r:])
+                    outl = _dot(gated, w_out_ref[l]) \
+                        + b_out_ref[pl.ds(l, 1), :]
+                    # spec layer l, one behind: its past tap at t+1 is
+                    # the real chain's layer-l input for d == 1, ring
+                    # state (untouched this iteration) otherwise
+                    if d == 1:
+                        past_s, slot_s = h, slot_r
+                    else:
+                        slot_s = slot_of(l, t + 1)
+                        past_s = buf_ref[pl.ds(slot_s, 1), :]
+                    fg_s = _dot(jnp.concatenate([hs, past_s], axis=1),
+                                w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
+                    gated_s = jnp.tanh(fg_s[:, :r]) \
+                        * jax.nn.sigmoid(fg_s[:, r:])
+                    outl_s = _dot(gated_s, w_out_ref[l]) \
+                        + b_out_ref[pl.ds(l, 1), :]
+                    buf_ref[pl.ds(slot_r, 1), :] = h
+                    spec_writes.append((slot_s, hs))
+                    skip_sum = skip_sum + outl[:, r:]
+                    skip_sum_s = skip_sum_s + outl_s[:, r:]
+                    h = outl[:, :r] + h
+                    hs = outl_s[:, :r] + hs
 
             nxt = argmax_col(head(skip_sum))                 # x_{t+1}
             nxt_s = argmax_col(head(skip_sum_s))       # x_{t+2} on hit
@@ -579,9 +647,9 @@ def pallas_generate(
             "pallas sampler supports batch sizes dividing 128 (up to "
             f"32), got {batch}; use fast_generate for other batch sizes")
     if speculative and (batch != 1 or temperature != 0.0
-                        or video is not None or fast):
+                        or video is not None):
         raise ValueError(
-            "speculative sampling supports B=1 greedy exact decoding "
+            "speculative sampling supports B=1 greedy decoding "
             "without video (it is a LATENCY optimization; batch/"
             "temperature/video paths use the standard kernel)")
 
@@ -697,8 +765,12 @@ def pallas_generate(
                        sp["front_cur"], sp["front_past"], sp["w_fg"],
                        sp["b_fg"], sp["w_out"], sp["b_out"],
                        sp["h1_w"], sp["h1_b"], sp["h2_w"], sp["h2_b"]]
+        if fast:
+            spec_inputs += [fw["fc0"], fw["fp0"], fw["w_p0c"],
+                            fw["w_prod"]]
         out = pl.pallas_call(
-            _make_spec_kernel(dil, rf, n_samples, c_in, r, s),
+            _make_spec_kernel(dil, rf, n_samples, c_in, r, s,
+                              fast=fast),
             out_shape=jax.ShapeDtypeStruct((out_rows, _LANES),
                                            jnp.int32),
             in_specs=[vmem] * len(spec_inputs),

@@ -225,3 +225,55 @@ def test_pallas_speculative_rejects_unsupported(rng_np):
     with pytest.raises(ValueError, match="speculative"):
         pallas_generate(model, variables, p1, rf + 8, temperature=0.7,
                         interpret=True, speculative=True)
+
+
+@pytest.mark.parametrize("trained", [False, True])
+def test_pallas_speculative_fast_matches_fast(trained, rng_np):
+    """fast+speculative must be bit-identical to the fast kernel (both
+    fp-reassociated the same way), in both miss- and hit-rich
+    regimes."""
+    if trained:
+        import optax
+
+        from movenet_tpu.data.preprocess import mu_law_encode_np
+
+        cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=32,
+                          residual_channels=16, skip_channels=16,
+                          compute_dtype="float32")
+        model = make_wavenet(cfg)
+        rf = model.receptive_fields
+        wave = np.sin(np.arange(0, 60, 0.15))
+        codes = mu_law_encode_np(wave, 32)
+        cj = jnp.asarray(np.tile(codes[None], (2, 1)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), cj)["params"]
+        tx = optax.adam(5e-3)
+        opt = tx.init(params)
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, cj,
+                                 method=model.train_logits)
+            tgt = cj[:, rf:]
+            nll = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+                logits, tgt[..., None], -1)[..., 0]
+            return nll.mean()
+
+        step = jax.jit(lambda p, o: (lambda g: tx.update(g, o, p))(
+            jax.grad(loss_fn)(p)))
+        for _ in range(120):
+            updates, opt = step(params, opt)
+            params = optax.apply_updates(params, updates)
+        variables = {"params": params}
+        prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    else:
+        model, variables = _model()
+        rf = model.receptive_fields
+        prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)),
+                             jnp.int32)
+    n = rf + 150
+    want = np.asarray(pallas_generate(model, variables, prompt, n,
+                                      temperature=0.0, interpret=True,
+                                      fast=True))
+    got = np.asarray(pallas_generate(model, variables, prompt, n,
+                                     temperature=0.0, interpret=True,
+                                     fast=True, speculative=True))
+    np.testing.assert_array_equal(got, want)
