@@ -52,7 +52,8 @@ class GenerationService:
     """Checkpoint + warm samplers behind a lock (one chip, one queue)."""
 
     def __init__(self, checkpoint_dir: Path, parity_sampling: bool = True,
-                 fast: bool = True, prefer_pallas: Optional[bool] = None):
+                 fast: bool = True, prefer_pallas: Optional[bool] = None,
+                 speculative: bool = True):
         import jax
 
         from movenet_tpu.generate import load_checkpoint_model
@@ -64,6 +65,7 @@ class GenerationService:
         self.rf = self.model.receptive_fields
         self.parity_sampling = parity_sampling
         self.fast = fast
+        self.speculative = speculative
         if prefer_pallas is None:
             prefer_pallas = jax.default_backend() == "tpu"
         self.prefer_pallas = prefer_pallas
@@ -118,10 +120,16 @@ class GenerationService:
         prompt_j = jnp.asarray(prompt)
         with self._lock:
             if self.prefer_pallas and b in (1, 2, 4, 8, 16, 32):
+                # B=1 greedy requests ride the speculative wavefront
+                # kernel: bit-identical output, hit-rate-dependent
+                # latency win on trained (predictable) models
+                spec = bool(self.speculative and b == 1
+                            and float(temperature) == 0.0)
                 codes = pallas_generate(
                     self.model, self.variables, prompt_j, n_samples,
                     temperature=float(temperature), seed=int(seed),
-                    parity_sampling=self.parity_sampling, fast=self.fast)
+                    parity_sampling=self.parity_sampling,
+                    fast=self.fast, speculative=spec)
             else:
                 codes = fast_generate(
                     self.model, self.variables, prompt_j, n_samples,
