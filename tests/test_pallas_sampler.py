@@ -277,3 +277,26 @@ def test_pallas_speculative_fast_matches_fast(trained, rng_np):
                                      temperature=0.0, interpret=True,
                                      fast=True, speculative=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_speculative_with_global_labels(rng_np):
+    """Global (category) conditioning folds into the per-layer fg bias
+    rows; the speculative kernel must carry it identically."""
+    cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=32,
+                      residual_channels=16, skip_channels=16,
+                      compute_dtype="float32", global_classes=4)
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)), jnp.int32)
+    labels = jnp.asarray([2], jnp.int32)
+    from movenet_tpu.models.wavenet import WaveNet
+    variables = model.init(jax.random.PRNGKey(1), prompt, None, labels,
+                           method=WaveNet.init_all)
+    n = rf + 96
+    want = np.asarray(pallas_generate(model, variables, prompt, n,
+                                      temperature=0.0, labels=labels,
+                                      interpret=True))
+    got = np.asarray(pallas_generate(model, variables, prompt, n,
+                                     temperature=0.0, labels=labels,
+                                     interpret=True, speculative=True))
+    np.testing.assert_array_equal(got, want)
