@@ -199,3 +199,24 @@ def test_curation_cli(dataset_root, tmp_path):
     idx = kinetics_index(out, train=True)
     assert len(idx) == 2 and idx.contexts == ["breakdancing"]
     assert len(kinetics_index(out, train=False)) == 1
+
+
+def test_loader_host_pack(dataset_root):
+    """host_pack=True ships the (T, 3B) fused-kernel codes pack from
+    the loader workers, bit-identical to the in-device pack."""
+    import jax.numpy as jnp
+
+    from movenet_tpu.data.pipeline import DataLoader
+    from movenet_tpu.models.fused import _codes_pack
+
+    idx = kinetics_index(dataset_root, train=True)
+    loader = DataLoader(idx, input_channels=64, batch_size=2,
+                        use_video=False, num_workers=2, shuffle=False,
+                        max_audio_frames=4000, max_video_frames=16,
+                        host_pack=True)
+    batch = next(iter(loader.epoch(0)))
+    assert batch.codes_pack is not None
+    assert batch.codes_pack.shape == (4000, 6)
+    want = np.asarray(_codes_pack(jnp.asarray(batch.codes),
+                                  with_targets=True))
+    np.testing.assert_array_equal(np.asarray(batch.codes_pack), want)
