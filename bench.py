@@ -431,7 +431,45 @@ def _check_on_hardware():
     return results
 
 
+def _preflight(timeout_s: float = 300.0):
+    """Fail fast (with a reason) instead of hanging forever when the
+    TPU backend is unreachable — a wedged tunnel lease makes every JAX
+    op block pre-init indefinitely (observed 2026-08-17: multi-hour
+    outage after killed processes left the remote lease held)."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+            result["ok"] = True
+        except Exception as e:  # pragma: no cover - backend-specific
+            result["err"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if result.get("ok"):
+        return
+    reason = result.get(
+        "err", f"device probe still blocked after {timeout_s:.0f}s "
+        "(wedged tunnel lease?)")
+    print(json.dumps({
+        "metric": "ar_mulaw_generation_throughput",
+        "value": None,
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+        "error": f"TPU backend unreachable: {reason}",
+    }))
+    raise SystemExit(1)
+
+
 def main():
+    _preflight()
     import jax
     import jax.numpy as jnp
 
