@@ -431,7 +431,7 @@ def _check_on_hardware():
     return results
 
 
-def _preflight(timeout_s: float = 300.0):
+def _preflight(timeout_s: float = 900.0):
     """Fail fast (with a reason) instead of hanging forever when the
     TPU backend is unreachable — a wedged tunnel lease makes every JAX
     op block pre-init indefinitely (observed 2026-08-17: multi-hour
