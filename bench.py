@@ -105,37 +105,52 @@ def _train_steps_per_sec():
     (comparable across rounds; includes ~1 ms/call of tunnel dispatch),
     the second runs 8 steps per call via lax.scan
     (train.make_scan_train_step), the deployment pattern that
-    amortizes host dispatch."""
+    amortizes host dispatch.
+
+    Both steps run through make_parallel_train_step over a 1-device
+    (data=1, seq=1) mesh — the shard_map-wrapping-Mosaic composition
+    that experiments/03 ships — so every official record exercises the
+    exact deployed lowering (round-3 VERDICT item 3), not a mesh-free
+    jit."""
     import jax
     import jax.numpy as jnp
 
-    from movenet_tpu.train import make_scan_train_step, make_train_step
+    from movenet_tpu.parallel.mesh import create_mesh
+    from movenet_tpu.parallel.sharding import (
+        make_parallel_scan_train_step, make_parallel_train_step,
+        shard_batch)
 
     model, cfg, state, batch = _breakdancing_setup()
-    step = jax.jit(make_train_step(model, cfg))
-    state, m = step(state, batch)
-    np.asarray(m["loss"])  # compile + warm (full sync)
-    reps = 32
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, m = step(state, batch)  # state-chained: serialized
-    np.asarray(m["loss"])
-    dt = (time.perf_counter() - t0) / reps
-    flops = _train_step_model_flops(cfg.model_config, 2, 160_000)
-    mfu = flops / dt / (V5E_PEAK_TFLOPS * 1e12) * 100
+    mesh = create_mesh(cfg.mesh, devices=jax.devices()[:1])
+    with mesh:
+        step = make_parallel_train_step(model, cfg, mesh,
+                                        has_video=True)
+        batch = shard_batch(mesh, batch)
+        state, m = step(state, batch)
+        np.asarray(m["loss"])  # compile + warm (full sync)
+        reps = 32
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = step(state, batch)  # state-chained: serialized
+        np.asarray(m["loss"])
+        dt = (time.perf_counter() - t0) / reps
+        flops = _train_step_model_flops(cfg.model_config, 2, 160_000)
+        mfu = flops / dt / (V5E_PEAK_TFLOPS * 1e12) * 100
 
-    # scan-of-8: one dispatch per 8 optimizer steps
-    n_scan = 8
-    scan_step = jax.jit(make_scan_train_step(model, cfg, n_scan))
-    batches8 = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (n_scan,) + x.shape), batch)
-    state, m = scan_step(state, batches8)
-    np.asarray(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(reps // 4):
+        # scan-of-8: one dispatch per 8 optimizer steps
+        n_scan = 8
+        scan_step = make_parallel_scan_train_step(
+            model, cfg, mesh, has_video=True, n_steps=n_scan)
+        batches8 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_scan,) + x.shape),
+            batch)
         state, m = scan_step(state, batches8)
-    np.asarray(m["loss"])
-    dt8 = (time.perf_counter() - t0) / (reps // 4) / n_scan
+        np.asarray(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(reps // 4):
+            state, m = scan_step(state, batches8)
+        np.asarray(m["loss"])
+        dt8 = (time.perf_counter() - t0) / (reps // 4) / n_scan
     return 1.0 / dt, 1.0 / dt8, mfu, flops
 
 
@@ -253,8 +268,18 @@ def _trained_model_record():
             speculative=True))
         check["spec_vs_exact_trained"] = "bit-equal" \
             if bool((spec_o == exact_o).all()) else "MISMATCH"
+        # spec+fast is serve.py's default B=1 greedy path: gate it
+        # against the non-spec fast kernel (speculation must be a pure
+        # latency transform for BOTH kernel variants)
+        specf_o = np.asarray(pallas_generate(
+            model, variables, prompt, n_tot, temperature=0.0,
+            speculative=True, fast=True))
+        check["spec_fast_vs_fast_trained"] = "bit-equal" \
+            if bool((specf_o == fast_o).all()) else "MISMATCH"
         check["ok"] = bool(check["ok"]
                            and check["spec_vs_exact_trained"]
+                           == "bit-equal"
+                           and check["spec_fast_vs_fast_trained"]
                            == "bit-equal")
         check["spec_exact_samples_per_sec"] = round(
             timed_rate(speculative=True), 2)
@@ -310,13 +335,21 @@ def _workload_matrix():
         tx = make_optimizer(cfg)
         state = create_train_state(model, cfg, tx,
                                    jax.random.PRNGKey(0), batch)
-        step = jax.jit(make_train_step(model, cfg))
-        state, m = step(state, batch)
-        np.asarray(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        from movenet_tpu.parallel.mesh import create_mesh
+        from movenet_tpu.parallel.sharding import (
+            make_parallel_train_step, shard_batch)
+
+        mesh = create_mesh(cfg.mesh, devices=jax.devices()[:1])
+        with mesh:
+            step = make_parallel_train_step(model, cfg, mesh,
+                                            has_video=True)
+            batch = shard_batch(mesh, batch)
             state, m = step(state, batch)
-        np.asarray(m["loss"])
+            np.asarray(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state, m = step(state, batch)
+            np.asarray(m["loss"])
         return reps / (time.perf_counter() - t0)
 
     # exp03 shape (single-chip measurement of the per-device work:
@@ -405,21 +438,29 @@ def _check_on_hardware():
             f"MISMATCH {(got != want).mean():.4f}")
         ok = ok and match
 
-    # fused training pipeline vs XLA (bf16: tolerance, not bit-equal)
-    from movenet_tpu.train import create_train_state, make_optimizer, \
-        make_train_step
+    # fused training pipeline vs XLA (bf16: tolerance, not bit-equal);
+    # both legs run under the 1-device mesh so the fused leg exercises
+    # shard_map wrapping real Mosaic custom calls (round-3 VERDICT
+    # item 3 — the composition experiments/03 ships)
+    from movenet_tpu.parallel.mesh import create_mesh
+    from movenet_tpu.parallel.sharding import (
+        make_parallel_train_step, shard_batch)
 
     model, cfg, state0, batch = _breakdancing_setup()
     import dataclasses
     vals = {}
-    for fused in (False, True):
-        c = dataclasses.replace(cfg, fused_blocks=fused)
-        step = jax.jit(make_train_step(model, c))
-        state = state0
-        for _ in range(3):
-            state, m = step(state, batch)
-        vals[fused] = {k: float(m[k])
-                       for k in ("loss", "grad_norm", "accuracy")}
+    mesh = create_mesh(cfg.mesh, devices=jax.devices()[:1])
+    with mesh:
+        batch = shard_batch(mesh, batch)
+        for fused in (False, True):
+            c = dataclasses.replace(cfg, fused_blocks=fused)
+            step = make_parallel_train_step(model, c, mesh,
+                                            has_video=True)
+            state = state0
+            for _ in range(3):
+                state, m = step(state, batch)
+            vals[fused] = {k: float(m[k])
+                           for k in ("loss", "grad_norm", "accuracy")}
     deltas = {k: abs(vals[True][k] - vals[False][k])
               for k in vals[True]}
     train_ok = all(d < 2e-3 for d in deltas.values())

@@ -177,7 +177,7 @@ def _prepare_trunk(model: WaveNet, params, codes, video, labels,
     return h, ctx, stacked, block_weights
 
 
-def _codes_pack(codes, with_targets: bool):
+def _codes_pack(codes, with_targets: bool, vocab: int = 256):
     """ONE (T, kB) int16 relayout serving every per-position consumer:
     columns [0,B) = codes, [B,2B) = codes shifted right (row 0 = -1
     sentinel), and with_targets, [2B,3B) = codes shifted left (CE
@@ -186,13 +186,16 @@ def _codes_pack(codes, with_targets: bool):
     tiling rewrite every 128-lane tile and cost ~0.5 ms/step; separate
     transposes per consumer cost ~0.13 ms each (both measured, v5e).
     int16 halves the lane-padded (T, 128) relayout write (~0.06 ms);
-    kernels widen to s32 at load.  Requires vocab < 32768 (mu-law
+    kernels widen to s32 at load.  int16 requires vocab < 32768 (mu-law
     quantization_channels is <= 256 everywhere in the reference,
-    config.py:149-240)."""
+    config.py:149-240) — a wider vocab falls back to int32 instead of
+    silently wrapping code values (the shape/dtype are static, so the
+    check is free under jit)."""
     b = codes.shape[0]
-    c16 = codes.astype(jnp.int16)
+    pack_dt = jnp.int16 if vocab < 2 ** 15 else jnp.int32
+    c16 = codes.astype(pack_dt)
     parts = [c16,
-             jnp.concatenate([jnp.full((b, 1), -1, jnp.int16),
+             jnp.concatenate([jnp.full((b, 1), -1, pack_dt),
                               c16[:, :-1]], axis=1)]
     if with_targets:
         parts.append(jnp.roll(c16, -1, axis=1))
@@ -222,7 +225,8 @@ def _fused_trunk(model: WaveNet, params, codes, video, labels,
             # front embedding folded into the kernel: no h / one-hot /
             # dx round-trips through HBM (~0.5 ms/step saved)
             if codes_pack is None:
-                codes_pack = _codes_pack(codes, with_targets=False)
+                codes_pack = _codes_pack(codes, with_targets=False,
+                                         vocab=vocab)
             table2 = jnp.concatenate(
                 [params["front_cur"], params["front_past"]],
                 axis=0).astype(dt)
@@ -358,7 +362,8 @@ def fused_train_loss(model: WaveNet, params, codes: jnp.ndarray,
             codes_pack.shape == (codes.shape[1], 3 * b):
         pack3 = codes_pack
     else:
-        pack3 = _codes_pack(codes, with_targets=True)
+        pack3 = _codes_pack(codes, with_targets=True,
+                            vocab=model.input_channels)
     skip_sum = _fused_trunk(model, params, codes, video, labels,
                             interpret, codes_pack=pack3)
     loss_sum, match = fused_head_loss(

@@ -98,32 +98,71 @@ class CheckpointManager:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(abstract))
         except Exception:
-            # pre-round-2 checkpoints store per-block submodules
-            # (block_{i}/w_cur, ...) — the template mismatch throws.
-            # Restore as-saved, stack the block params into the current
-            # layout, and reinitialize the optimizer state (its raveled
-            # leaf ORDER followed the old tree and cannot be remapped
-            # safely); params + step round-trip exactly.
-            raw = self._mgr.restore(step)
-            if not (isinstance(raw, dict) and "block_0" in raw.get(
-                    "params", {})):
-                raise
-            logger.warning(
-                "checkpoint at step %s uses the legacy per-block "
-                "parameter layout: migrating params to the stacked "
-                "layout and RESETTING optimizer state", step)
-            # tree.map against the template validates the migrated
-            # structure and keeps the template's leaf dtypes/placement
-            params = jax.tree.map(
-                lambda t, x: jax.numpy.asarray(x, t.dtype),
-                state.params,
-                migrate_legacy_block_params(raw["params"]))
-            return state.replace(params=params, step=int(raw["step"]))
+            # Structure-mismatch fallbacks only.  Probe the SAVED tree's
+            # top-level param keys from checkpoint metadata first (cheap
+            # — no array reads): a transient IO error or corrupt file
+            # must re-raise the original error instead of paying a
+            # second full unstructured read.
+            saved_keys = self._saved_param_keys(step)
+            if saved_keys is not None and "block_0" in saved_keys:
+                # pre-round-2 checkpoints store per-block submodules
+                # (block_{i}/w_cur, ...).  Restore as-saved, stack the
+                # block params into the current layout, and reinitialize
+                # the optimizer state (its raveled leaf ORDER followed
+                # the old tree and cannot be remapped safely); params +
+                # step round-trip exactly.
+                logger.warning(
+                    "checkpoint at step %s uses the legacy per-block "
+                    "parameter layout: migrating params to the stacked "
+                    "layout and RESETTING optimizer state", step)
+                raw = self._mgr.restore(step)
+                # tree.map against the template validates the migrated
+                # structure and keeps the template's leaf dtypes
+                params = jax.tree.map(
+                    lambda t, x: jax.numpy.asarray(x, t.dtype),
+                    state.params,
+                    migrate_legacy_block_params(raw["params"]))
+                return state.replace(params=params,
+                                     step=int(raw["step"]))
+            template_keys = set(state.params)
+            if saved_keys is not None and \
+                    template_keys < saved_keys:
+                # The saved tree carries leaves the template lacks —
+                # e.g. blocks_ctx_kernel/bias written by an audio-only
+                # run before the trainer started dropping unused
+                # context convs (use_context downgrade).  Drop the
+                # extras; optimizer state followed the old leaf set and
+                # is reset.
+                extra = sorted(saved_keys - template_keys)
+                logger.warning(
+                    "checkpoint at step %s has parameter leaves the "
+                    "current model lacks (%s): dropping them and "
+                    "RESETTING optimizer state", step, ", ".join(extra))
+                raw = self._mgr.restore(step)
+                params = jax.tree.map(
+                    lambda t, x: jax.numpy.asarray(x, t.dtype),
+                    state.params,
+                    {k: raw["params"][k] for k in template_keys})
+                return state.replace(params=params,
+                                     step=int(raw["step"]))
+            raise
         return state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def _saved_param_keys(self, step: int):
+        """Top-level key set of the saved ``params`` subtree, read from
+        checkpoint METADATA (no array data).  Returns None when the
+        metadata is unavailable — callers then re-raise their original
+        error rather than guessing."""
+        try:
+            meta = self._mgr.item_metadata(step)
+            tree = getattr(meta, "tree", meta)  # orbax API variants
+            return set(tree["params"].keys())
+        except Exception:
+            return None
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -206,3 +206,69 @@ def test_legacy_checkpoint_migration(tmp_path):
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)),
         migrated, jax.tree.map(np.asarray, dict(state.params)))
+
+
+def test_checkpoint_with_extra_ctx_leaves_restores(tmp_path):
+    """A checkpoint saved before the trainer started dropping unused
+    context convs (audio-only run, stacked layout WITH blocks_ctx_*)
+    must still resume into today's downgraded template: the extra
+    leaves are dropped with a warning, params/step round-trip,
+    optimizer state resets (round-3 ADVICE item 1)."""
+    import orbax.checkpoint as ocp
+
+    from movenet_tpu.train.checkpoint import CheckpointManager
+
+    config = _cfg(model=ModelConfig(
+        layer_size=6, stack_size=1, input_channels=64,
+        residual_channels=24, skip_channels=24,
+        compute_dtype="float32", use_context=False))
+    model = make_wavenet(config.model_config)
+    codes = _sine64(256)
+    tx = make_optimizer(config)
+    state = create_train_state(model, config, tx, jax.random.PRNGKey(0),
+                               Batch(codes=codes))
+    step_fn = jax.jit(make_train_step(model, config))
+    state, _ = step_fn(state, Batch(codes=codes))
+
+    saved = dict(jax.tree.map(np.asarray, dict(state.params)))
+    assert "blocks_ctx_kernel" not in saved  # template lacks context
+    r = config.model_config.residual_channels
+    n_layers = saved["blocks_w_cur"].shape[0]
+    saved["blocks_ctx_kernel"] = np.ones((n_layers, 1, 2 * r),
+                                         np.float32)
+    saved["blocks_ctx_bias"] = np.zeros((n_layers, 2 * r), np.float32)
+
+    ckpt_dir = tmp_path / "ctx_run" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    mgr = ocp.CheckpointManager(ckpt_dir)
+    mgr.save(5, args=ocp.args.StandardSave(
+        {"params": saved,
+         "opt_state": {"stale": np.zeros(3, np.float32)},
+         "step": np.asarray(int(state.step))}))
+    mgr.wait_until_finished()
+    mgr.close()
+
+    fresh = create_train_state(model, config, tx, jax.random.PRNGKey(9),
+                               Batch(codes=codes))
+    restored = CheckpointManager(tmp_path / "ctx_run").restore(fresh)
+    assert int(restored.step) == int(state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        restored.params, state.params)
+
+    # a genuinely corrupt/missing-leaf checkpoint must still raise
+    # (the fallback is scoped to known layout mismatches)
+    broken = dict(saved)
+    del broken["blocks_ctx_kernel"], broken["blocks_w_cur"]
+    ckpt_dir2 = tmp_path / "broken_run" / "checkpoints"
+    ckpt_dir2.mkdir(parents=True)
+    mgr2 = ocp.CheckpointManager(ckpt_dir2)
+    mgr2.save(1, args=ocp.args.StandardSave(
+        {"params": broken,
+         "opt_state": {"stale": np.zeros(3, np.float32)},
+         "step": np.asarray(0)}))
+    mgr2.wait_until_finished()
+    mgr2.close()
+    with pytest.raises(Exception):
+        CheckpointManager(tmp_path / "broken_run").restore(fresh)
