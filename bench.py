@@ -247,8 +247,9 @@ def _trained_model_record():
 
     def timed_rate(**kw):
         def run():
-            return pallas_generate(model, variables, prompt,
-                                   rf + n_gen, temperature=0.0, **kw)
+            out = pallas_generate(model, variables, prompt,
+                                  rf + n_gen, temperature=0.0, **kw)
+            return out[0] if isinstance(out, tuple) else out
         np.asarray(run())
         t0 = time.perf_counter()
         out = None
@@ -263,17 +264,25 @@ def _trained_model_record():
     # only on trained models (hit-rate-dependent), so this is where
     # it is measured
     try:
-        spec_o = np.asarray(pallas_generate(
+        spec_j, spec_hits = pallas_generate(
             model, variables, prompt, n_tot, temperature=0.0,
-            speculative=True))
+            speculative=True, return_stats=True)
+        spec_o = np.asarray(spec_j)
         check["spec_vs_exact_trained"] = "bit-equal" \
             if bool((spec_o == exact_o).all()) else "MISMATCH"
+        # committed pairs h over g generated samples: h/(g-h) is the
+        # per-iteration hit rate of the (adaptive) 2-gram guesser
+        g_tot = n_tot - rf
+        h = float(spec_hits)
+        check["spec_hit_rate_trained"] = round(
+            h / max(1.0, g_tot - h), 4)
         # spec+fast is serve.py's default B=1 greedy path: gate it
         # against the non-spec fast kernel (speculation must be a pure
         # latency transform for BOTH kernel variants)
-        specf_o = np.asarray(pallas_generate(
+        specf_j, _ = pallas_generate(
             model, variables, prompt, n_tot, temperature=0.0,
-            speculative=True, fast=True))
+            speculative=True, fast=True, return_stats=True)
+        specf_o = np.asarray(specf_j)
         check["spec_fast_vs_fast_trained"] = "bit-equal" \
             if bool((specf_o == fast_o).all()) else "MISMATCH"
         check["ok"] = bool(check["ok"]
@@ -281,10 +290,14 @@ def _trained_model_record():
                            == "bit-equal"
                            and check["spec_fast_vs_fast_trained"]
                            == "bit-equal")
+        # return_stats=True on the timed calls reuses the executables
+        # compiled for the bit-equality checks above (one fresh kernel
+        # costs ~50s through the remote-compile relay)
         check["spec_exact_samples_per_sec"] = round(
-            timed_rate(speculative=True), 2)
+            timed_rate(speculative=True, return_stats=True), 2)
         check["spec_fast_samples_per_sec"] = round(
-            timed_rate(speculative=True, fast=True), 2)
+            timed_rate(speculative=True, fast=True,
+                       return_stats=True), 2)
         check["exact_samples_per_sec_trained"] = round(
             timed_rate(), 2)
     except Exception as e:  # pragma: no cover - surface, don't fail

@@ -42,21 +42,28 @@ rng = np.random.default_rng(0)
 prompt = jnp.asarray(rng.integers(0, 256, size=(1, rf)), jnp.int32)
 variables = model.init(jax.random.PRNGKey(0), prompt)
 n = rf + 4000
-for kw in ({}, {"speculative": True}, {"fast": True},
-           {"fast": True, "speculative": True}):
+for kw in ({}, {"speculative": True, "return_stats": True},
+           {"fast": True},
+           {"fast": True, "speculative": True, "return_stats": True}):
     t0 = time.time()
-    a = np.asarray(pallas_generate(model, variables, prompt, n,
-                                   temperature=0.0, **kw))
+    out = pallas_generate(model, variables, prompt, n,
+                          temperature=0.0, **kw)
+    codes, hits = out if isinstance(out, tuple) else (out, None)
+    a = np.asarray(codes)
     compile_s = time.time() - t0
     t0 = time.time()
-    out = None
     for _ in range(3):
         out = pallas_generate(model, variables, prompt, n,
                               temperature=0.0, **kw)
-    np.asarray(out)
+    np.asarray(out[0] if isinstance(out, tuple) else out)
     rate = 3 * 4000 / (time.time() - t0)
-    print(f"{kw}: {rate:,.0f} samples/s (compile {compile_s:.0f}s)")
-    if kw == {"speculative": True}:
+    extra = ""
+    if hits is not None:
+        h = float(hits)
+        extra = f", hit rate {h / max(1.0, 4000 - h):.1%}"
+    print(f"{kw}: {rate:,.0f} samples/s (compile {compile_s:.0f}s"
+          f"{extra})")
+    if kw.get("speculative") and not kw.get("fast"):
         base = np.asarray(pallas_generate(model, variables, prompt, n,
                                           temperature=0.0))
         print("  spec==exact:", bool((a == base).all()))

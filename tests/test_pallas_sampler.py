@@ -214,6 +214,78 @@ def test_pallas_speculative_matches_exact_trained(rng_np):
     np.testing.assert_array_equal(got, want)
 
 
+def _trained_sine(layer=3, stack=2, c=32, r=16, s=16, steps=150):
+    import optax
+
+    from movenet_tpu.data.preprocess import mu_law_encode_np
+
+    cfg = ModelConfig(layer_size=layer, stack_size=stack,
+                      input_channels=c, residual_channels=r,
+                      skip_channels=s, compute_dtype="float32")
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields
+    wave = np.sin(np.arange(0, 60, 0.15))            # 400 samples
+    codes = mu_law_encode_np(wave, c)
+    cj = jnp.asarray(np.tile(codes[None], (2, 1)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), cj)["params"]
+    tx = optax.adam(5e-3)
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, cj,
+                             method=model.train_logits)
+        tgt = cj[:, rf:]
+        nll = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
+            logits, tgt[..., None], -1)[..., 0]
+        return nll.mean()
+
+    step = jax.jit(lambda p, o: (lambda g: tx.update(g, o, p))(
+        jax.grad(loss_fn)(p)))
+    for _ in range(steps):
+        updates, opt = step(params, opt)
+        params = optax.apply_updates(params, updates)
+    return model, {"params": params}, codes
+
+
+def test_pallas_speculative_adaptive_guesser_beats_frozen():
+    """The learned 2-gram side table (round-3 VERDICT item 7) must (a)
+    keep the output bit-identical to the exact kernel — the guess only
+    ever changes the hit RATE — and (b) hit at least as often as the
+    frozen prompt table: the RF-length prompt covers a fraction of one
+    sine period, so most continuation transitions are unseen at start
+    and only the adaptive table can learn them."""
+    model, trained, codes = _trained_sine()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    n = rf + 200
+    want = np.asarray(pallas_generate(model, trained, prompt, n,
+                                      temperature=0.0, interpret=True))
+    got_f, hits_f = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        speculative=True, spec_adaptive=False, return_stats=True)
+    got_a, hits_a = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        speculative=True, spec_adaptive=True, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(got_f), want)
+    np.testing.assert_array_equal(np.asarray(got_a), want)
+    # measured (deterministic seeds): frozen 8 hits (4.2% rate),
+    # adaptive 43 (27.4%) over 200 samples — the online table is the
+    # difference between speculation being a no-op and a ~1.3x win
+    assert int(hits_a) > int(hits_f)
+    # hits are committed pairs: 2*hits + misses == 200 samples
+    assert 0 <= int(hits_a) <= 100
+
+
+def test_pallas_return_stats_requires_speculative():
+    model, variables = _model()
+    rf = model.receptive_fields
+    with pytest.raises(ValueError, match="return_stats"):
+        pallas_generate(model, variables,
+                        jnp.zeros((1, rf), jnp.int32), rf + 8,
+                        temperature=0.0, interpret=True,
+                        return_stats=True)
+
+
 def test_pallas_speculative_rejects_unsupported(rng_np):
     model, variables = _model()
     rf = model.receptive_fields
