@@ -150,6 +150,43 @@ def test_scan_step_matches_sequential():
         s_scan.params, s_seq.params)
 
 
+def test_scan_step_with_video_bench_wiring():
+    """Mirrors bench.py::_train_steps_per_sec exactly: a 1-device
+    (data=1, seq=1) mesh, make_parallel_train_step +
+    make_parallel_scan_train_step with has_video=True on a labels-None
+    batch, and the scanned batches built by broadcast_to OVER the
+    already-sharded arrays.  Guards the official-record path — a bench
+    wiring bug on the chip would cost the round its BENCH record."""
+    model, cfg, state, batch = _setup(batch=2, t=500, video=True,
+                                      mesh_data=1)
+    mesh = create_mesh(MeshConfig(data=1, seq=1),
+                       devices=jax.devices()[:1])
+    n_scan = 3
+    with mesh:
+        step = make_parallel_train_step(model, cfg, mesh,
+                                        has_video=True)
+        sharded = shard_batch(mesh, batch)
+        s_seq = state
+        for _ in range(n_scan):
+            s_seq, m_seq = step(s_seq, sharded)
+
+        sstep = make_parallel_scan_train_step(model, cfg, mesh,
+                                              has_video=True,
+                                              n_steps=n_scan)
+        batches = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_scan,) + x.shape),
+            sharded)
+        s_scan, m_scan = sstep(state, batches)
+    assert int(s_scan.step) == int(s_seq.step) == n_scan
+    np.testing.assert_allclose(
+        float(np.asarray(m_scan["loss"])[-1]), float(m_seq["loss"]),
+        rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        s_scan.params, s_seq.params)
+
+
 def test_fused_shard_map_matches_xla_on_mesh():
     """The fused Pallas train step (interpret-lowered) shard_map'd over
     a 4-device data mesh matches the unfused XLA step under identical
