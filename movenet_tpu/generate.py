@@ -140,7 +140,15 @@ def generate_from_checkpoint(
                                 temperature=temperature, seed=seed,
                                 video=video, labels=labels,
                                 parity_sampling=parity_sampling,
-                                fast=fast, speculative=spec_ok)
+                                fast=fast, speculative=spec_ok,
+                                return_stats=spec_ok)
+        if spec_ok:
+            codes, hits = codes
+            h, g = float(hits), n - rf
+            logger.info(
+                "speculative decode: %d/%d samples from committed "
+                "guesses (hit rate %.1f%%/iter)", int(h), g,
+                100.0 * h / max(1.0, g - h))
     else:
         codes = fast_generate(model, variables, prompt, n,
                               temperature=temperature,

@@ -13,6 +13,16 @@ of non-MXU time:
   mmonly   the 4 matmuls per layer, nothing else
 
 Run: python scripts/exp_trunk_bwd.py [--reps 16] [--variants ...]
+                                     [--tile 4000]
+
+--tile N (round 4): sweep the time-tile size.  Doubling the tile
+halves the number of wgrad matmul issues (the tiny-M (193, 2R)/(65,
+R+S) outputs whose per-issue pipeline drain is suspected fixed cost)
+and halves every per-tile fixed cost (accumulator RMW, ring writes,
+tail loads) at the price of bigger streamed blocks.  If `full` gets
+faster with tile, the "wgrad two-tiles-per-pass" lever (VERDICT round-3
+weak #2a) is worth building into the production kernel; if it OOMs or
+flatlines, it is not — measure BEFORE building.
 """
 
 from __future__ import annotations
@@ -198,11 +208,18 @@ def make_kernel(variant):
 
 
 def main():
+    global TILE, N_TILES
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--variants", type=str,
                     default="full,fold_bias,oneroll,packeddfg,golf")
+    ap.add_argument("--tile", type=int, default=TILE,
+                    help="time-tile size (must divide T=160000); sweep "
+                    "e.g. 2000/4000/8000 to price per-tile fixed costs")
     args = ap.parse_args()
+    assert T % args.tile == 0, f"tile {args.tile} must divide {T}"
+    TILE = args.tile
+    N_TILES = T // TILE
 
     import jax
     import jax.numpy as jnp
