@@ -135,7 +135,7 @@ def generate_from_checkpoint(
         # 2-steps-per-chain wavefront kernel (bit-identical output;
         # trained-model speedup scales with prompt predictability)
         spec_ok = (speculative and prompt.shape[0] == 1
-                   and temperature == 0.0 and video is None)
+                   and video is None)
         codes = pallas_generate(model, variables, prompt, n,
                                 temperature=temperature, seed=seed,
                                 video=video, labels=labels,

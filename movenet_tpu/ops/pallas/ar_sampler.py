@@ -11,7 +11,9 @@ entire generation loop inside one ``pallas_call``:
     unrolled gated-residual blocks as (B,R)x(R,2R) VMEM matmuls,
     dilation ring buffers as dynamic row-slab slices of one packed
     (sum_dilations*B, R) scratch buffer, head matmuls, then greedy
-    argmax or Gumbel-max sampling from the on-core PRNG;
+    argmax or Gumbel-max sampling from a counter-based positional
+    hash (stateless — speculation and the standard kernel share one
+    stream; see _positional_gumbel);
   * batch lives in the sublane dimension (B in {1, 2, 4, 8}); prompt
     and output codes are lane-packed int32 tiles (128/B timesteps per
     row) with vectorized lane select/insert — no scalar memory traffic;
@@ -54,6 +56,33 @@ _HI = jax.lax.Precision.HIGHEST
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=_HI)
+
+
+def _positional_gumbel(seed_i32, tt, batch: int, c_in: int):
+    """(batch, c_in) Gumbel noise as a pure function of
+    (seed, position tt, stream b, class c) — counter-based (lowbias32
+    integer hash of the flat index), no PRNG state.
+
+    Statelessness is the point (round 4): the standard kernel draws
+    position t at iteration t, the speculative kernel draws positions
+    t and t+1 in ONE iteration, and both get bit-identical noise, so
+    sampled speculative decoding reproduces the standard kernel's
+    stream exactly.  Plain vector uint32 xors/shifts/mults also lower
+    identically under Mosaic and the interpreter (pltpu.prng_* has no
+    CPU-interpret implementation).  lowbias32 easily clears the bar
+    for audio sampling; this is not a cryptographic stream."""
+    bi = jax.lax.broadcasted_iota(jnp.uint32, (batch, c_in), 0)
+    ci = jax.lax.broadcasted_iota(jnp.uint32, (batch, c_in), 1)
+    x = (tt.astype(jnp.uint32) * jnp.uint32(batch) + bi) \
+        * jnp.uint32(c_in) + ci
+    x = x ^ (seed_i32.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x21F0AAAD)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0xD35A2D97)
+    x = x ^ (x >> 15)
+    u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
 
 
 def stack_sampler_params(model: WaveNet, variables,
@@ -196,8 +225,6 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
             (out_ref, buf_ref) = rest
             ctx_hbm = ctx_buf_ref = ctx_sem = None
 
-        if temperature > 0.0:
-            pltpu.prng_seed(seed_ref[0])
         # warm start: ring buffers pre-filled by the parallel prompt pass
         buf_ref[:, :] = buf_init_ref[:, :]
 
@@ -339,11 +366,15 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
                     scores = jax.nn.softmax(logits, -1) / temperature
                 else:
                     scores = logits / temperature
-                bits = pltpu.prng_random_bits((batch, c_in))
-                b24 = pltpu.bitcast(
-                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32)
-                u = b24.astype(jnp.float32) * (1.0 / (1 << 24))
-                scores = scores - jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+                # POSITIONAL Gumbel-max (see _positional_gumbel): the
+                # draw for a position is a pure function of (seed, t),
+                # not of how many draws preceded it — the property
+                # that lets the speculative kernel reproduce this
+                # exact stream while consuming positions two at a time
+                # (a sequential stream would diverge on the first
+                # committed speculation)
+                scores = scores + _positional_gumbel(
+                    seed_ref[0], t, batch, c_in)
             # manual argmax (first max index): Mosaic cannot lower
             # jnp.argmax's f32->i32 vector materialization
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -380,8 +411,20 @@ def _make_kernel(dilations, rf: int, n_samples: int, c_in: int, r: int,
 
 def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                       r: int, s: int, fast: bool = False,
-                      adaptive: bool = True):
-    """Speculative-wavefront EXACT sampler (B=1, greedy, no video).
+                      adaptive: bool = True, temperature: float = 0.0,
+                      parity_sampling: bool = True):
+    """Speculative-wavefront EXACT sampler (B=1, no video).
+
+    temperature > 0 (round 4): sampling speculates too.  Both kernels
+    draw POSITIONAL Gumbel noise (reseed from (seed, position) per
+    head evaluation), so the draw for position t is a pure function of
+    t — the speculative kernel evaluates positions t and t+1 in one
+    iteration and still reproduces the standard kernel's stream
+    bit-exactly; a commit requires the SAMPLED x_{t+1} to equal the
+    guess, so output stays bit-identical at any temperature.  Hit rate
+    at temperature>0 is bounded by the model's per-step confidence
+    (P[sample == mode]), so speculation degrades gracefully toward the
+    miss regime on high-entropy models.
 
     Runs step t's chain and a speculative step-(t+1) chain skewed by
     ONE layer in the same iteration.  The guess g = T2[x_t] comes from
@@ -409,7 +452,7 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                              preferred_element_type=jnp.float32)
            if fast else _dot)
 
-    def kernel(init_codes_ref, buf_init_ref, t2_ref,
+    def kernel(seed_ref, init_codes_ref, buf_init_ref, t2_ref,
                front_cur_ref, front_past_ref,
                w_fg_ref, b_fg_ref, w_out_ref, b_out_ref,
                h1_w_ref, h1_b_ref, h2_w_ref, h2_b_ref, *rest):
@@ -426,11 +469,21 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
         row_iota_f = jax.lax.broadcasted_iota(
             jnp.int32, (c_in, 1), 0).astype(jnp.float32)
 
-        def head(skip_sum):
+        def head(skip_sum, tt):
             y = dot(jax.nn.leaky_relu(skip_sum), h1_w_ref[:, :]) \
                 + h1_b_ref[pl.ds(0, 1), :]
-            return dot(jax.nn.leaky_relu(y), h2_w_ref[:, :]) \
+            logits = dot(jax.nn.leaky_relu(y), h2_w_ref[:, :]) \
                 + h2_b_ref[pl.ds(0, 1), :]
+            if temperature == 0.0:
+                return logits
+            # positional Gumbel-max: identical formula and (seed, tt)
+            # keying as the standard kernel's temperature branch
+            if parity_sampling:
+                scores = jax.nn.softmax(logits, -1) / temperature
+            else:
+                scores = logits / temperature
+            return scores + _positional_gumbel(seed_ref[0], tt, 1,
+                                               c_in)
 
         def argmax_col(scores):
             m = jnp.max(scores, axis=-1, keepdims=True)
@@ -543,8 +596,8 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                     h = outl[:, :r] + h
                     hs = outl_s[:, :r] + hs
 
-            nxt = argmax_col(head(skip_sum))                 # x_{t+1}
-            nxt_s = argmax_col(head(skip_sum_s))       # x_{t+2} on hit
+            nxt = argmax_col(head(skip_sum, t))              # x_{t+1}
+            nxt_s = argmax_col(head(skip_sum_s, t + 1))  # x_{t+2} hit
             hit_n = jnp.sum((nxt == g_col_f).astype(jnp.int32))
             hit = jnp.logical_and(hit_n > 0, t + 1 < n_samples)
 
@@ -678,12 +731,11 @@ def pallas_generate(
         raise ValueError(
             "pallas sampler supports batch sizes dividing 128 (up to "
             f"32), got {batch}; use fast_generate for other batch sizes")
-    if speculative and (batch != 1 or temperature != 0.0
-                        or video is not None):
+    if speculative and (batch != 1 or video is not None):
         raise ValueError(
-            "speculative sampling supports B=1 greedy decoding "
-            "without video (it is a LATENCY optimization; batch/"
-            "temperature/video paths use the standard kernel)")
+            "speculative sampling supports B=1 decoding without video "
+            "(it is a LATENCY optimization; batch/video paths use the "
+            "standard kernel)")
     if return_stats and not speculative:
         raise ValueError(
             "return_stats reports the speculative hit counter; it "
@@ -799,7 +851,7 @@ def pallas_generate(
         t2 = jnp.full((c_in, 1), -1.0, jnp.float32)
         t2 = t2.at[prompt[0, :-1], 0].set(
             prompt[0, 1:].astype(jnp.float32))
-        spec_inputs = [init_codes, buf_init, t2,
+        spec_inputs = [seed_arr, init_codes, buf_init, t2,
                        sp["front_cur"], sp["front_past"], sp["w_fg"],
                        sp["b_fg"], sp["w_out"], sp["b_out"],
                        sp["h1_w"], sp["h1_b"], sp["h2_w"], sp["h2_b"]]
@@ -808,11 +860,14 @@ def pallas_generate(
                             fw["w_prod"]]
         out, hits = pl.pallas_call(
             _make_spec_kernel(dil, rf, n_samples, c_in, r, s,
-                              fast=fast, adaptive=spec_adaptive),
+                              fast=fast, adaptive=spec_adaptive,
+                              temperature=float(temperature),
+                              parity_sampling=parity_sampling),
             out_shape=(jax.ShapeDtypeStruct((out_rows, _LANES),
                                             jnp.int32),
                        jax.ShapeDtypeStruct((1, _LANES), jnp.int32)),
-            in_specs=[vmem] * len(spec_inputs),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [vmem] * (len(spec_inputs) - 1),
             out_specs=(vmem, vmem),
             scratch_shapes=[pltpu.VMEM((sum_d, r), jnp.float32),
                             pltpu.VMEM((c_in, 1), jnp.float32)],

@@ -122,7 +122,13 @@ class GenerationService:
             if self.prefer_pallas and b in (1, 2, 4, 8, 16, 32):
                 # B=1 greedy requests ride the speculative wavefront
                 # kernel: bit-identical output, hit-rate-dependent
-                # latency win on trained (predictable) models
+                # latency win on trained (predictable) models.
+                # Sampled requests stay on the standard kernel by
+                # default: speculation IS bit-identical at any
+                # temperature (positional Gumbel draws), but parity
+                # sampling's near-uniform scores make measured hit
+                # rates marginal (1-4% on the trained sine fixture) —
+                # not worth the spec chain's overhead
                 spec = bool(self.speculative and b == 1
                             and float(temperature) == 0.0)
                 try:

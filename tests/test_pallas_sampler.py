@@ -286,6 +286,35 @@ def test_pallas_return_stats_requires_speculative():
                         return_stats=True)
 
 
+def test_positional_gumbel_statistics():
+    """The counter-based Gumbel source must actually be Gumbel(0,1):
+    mean ~ Euler-Mascheroni (0.5772), var ~ pi^2/6 (1.6449), and
+    positions/seeds must decorrelate (bit-level hash quality is
+    lowbias32's job; this guards wiring mistakes like reused
+    indices)."""
+    import jax.numpy as jnp
+
+    from movenet_tpu.ops.pallas.ar_sampler import _positional_gumbel
+
+    draws = np.stack([
+        np.asarray(_positional_gumbel(jnp.int32(7), jnp.int32(t),
+                                      4, 256))
+        for t in range(100)])                     # (100, 4, 256)
+    flat = draws.reshape(-1)
+    assert abs(flat.mean() - 0.5772) < 0.02
+    assert abs(flat.var() - 1.6449) < 0.06
+    # different positions give different noise
+    assert not np.array_equal(draws[0], draws[1])
+    # different seeds give different noise at the same position
+    other = np.asarray(_positional_gumbel(jnp.int32(8), jnp.int32(0),
+                                          4, 256))
+    assert not np.array_equal(draws[0], other)
+    # deterministic: same (seed, t) -> same noise
+    again = np.asarray(_positional_gumbel(jnp.int32(7), jnp.int32(0),
+                                          4, 256))
+    np.testing.assert_array_equal(draws[0], again)
+
+
 def test_pallas_speculative_rejects_unsupported(rng_np):
     model, variables = _model()
     rf = model.receptive_fields
@@ -294,9 +323,53 @@ def test_pallas_speculative_rejects_unsupported(rng_np):
         pallas_generate(model, variables, p2, rf + 8, temperature=0.0,
                         interpret=True, speculative=True)
     p1 = p2[:1]
+    video = jnp.zeros((1, 1, 16, 16, 1), jnp.float32)
     with pytest.raises(ValueError, match="speculative"):
-        pallas_generate(model, variables, p1, rf + 8, temperature=0.7,
-                        interpret=True, speculative=True)
+        pallas_generate(model, variables, p1, rf + 8, temperature=0.0,
+                        video=video, interpret=True, speculative=True)
+
+
+@pytest.mark.parametrize("parity", [True, False])
+def test_pallas_speculative_sampled_matches_standard(parity, rng_np):
+    """Round 4: speculation extends to temperature sampling.  Both
+    kernels draw POSITIONAL Gumbel noise keyed on (seed, position), so
+    the speculative kernel reproduces the standard kernel's sampled
+    stream bit-exactly even though it evaluates two positions per
+    iteration (a commit requires the SAMPLED next code to equal the
+    guess)."""
+    model, variables = _model()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)),
+                         jnp.int32)
+    n = rf + 120
+    kw = dict(temperature=0.9, seed=11, parity_sampling=parity,
+              interpret=True)
+    want = np.asarray(pallas_generate(model, variables, prompt, n,
+                                      **kw))
+    got = np.asarray(pallas_generate(model, variables, prompt, n,
+                                     speculative=True, **kw))
+    np.testing.assert_array_equal(got, want)
+    # determinism: same seed -> same stream
+    again = np.asarray(pallas_generate(model, variables, prompt, n,
+                                       speculative=True, **kw))
+    np.testing.assert_array_equal(again, got)
+
+
+def test_pallas_speculative_sampled_trained_hits():
+    """On the trained sine model at a mild temperature, sampled
+    speculation must stay bit-identical AND still commit some guesses
+    (the model is confident, so P[sample == mode] stays high)."""
+    model, trained, codes = _trained_sine()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    n = rf + 200
+    kw = dict(temperature=0.5, seed=3, interpret=True)
+    want = np.asarray(pallas_generate(model, trained, prompt, n, **kw))
+    got, hits = pallas_generate(model, trained, prompt, n,
+                                speculative=True, return_stats=True,
+                                **kw)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    assert int(hits) > 0
 
 
 @pytest.mark.parametrize("trained", [False, True])
