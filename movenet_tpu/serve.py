@@ -14,6 +14,9 @@ Protocol (one JSON object per line, newline-terminated, UTF-8):
              "seed": int, "format": "codes" | "wav"}
   response: {"id": any, "ms": float, "samples_per_sec": float,
              "codes": [[...]]}            (format == "codes")
+            + "spec_hit_rate" when the speculative kernel served the
+              request (greedy B=1: fraction of iterations whose guess
+              committed a second sample)
             {"id": ..., "wav_b64": [...]} (format == "wav": 16 kHz
                                            mono PCM16 WAV per stream)
   errors:   {"id": any, "error": "..."}
@@ -50,6 +53,8 @@ logger = logging.getLogger(__name__)
 
 class GenerationService:
     """Checkpoint + warm samplers behind a lock (one chip, one queue)."""
+
+    last_spec_hit_rate: Optional[float] = None
 
     def __init__(self, checkpoint_dir: Path, parity_sampling: bool = True,
                  fast: bool = True, prefer_pallas: Optional[bool] = None,
@@ -90,7 +95,12 @@ class GenerationService:
     def generate(self, n_samples: int, temperature: float = 1.0,
                  prompt: Optional[np.ndarray] = None, seed: int = 0
                  ) -> np.ndarray:
-        """(B, n_samples) int32 mu-law codes (prompt included)."""
+        """(B, n_samples) int32 mu-law codes (prompt included).
+
+        When the speculative route serves the request, the per-request
+        hit rate is stored in ``self.last_spec_hit_rate`` (None
+        otherwise) and surfaced in the response as ``spec_hit_rate``.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -131,13 +141,21 @@ class GenerationService:
                 # not worth the spec chain's overhead
                 spec = bool(self.speculative and b == 1
                             and float(temperature) == 0.0)
+                self.last_spec_hit_rate = None
                 try:
                     codes = pallas_generate(
                         self.model, self.variables, prompt_j,
                         n_samples, temperature=float(temperature),
                         seed=int(seed),
                         parity_sampling=self.parity_sampling,
-                        fast=self.fast, speculative=spec)
+                        fast=self.fast, speculative=spec,
+                        return_stats=spec)
+                    if spec:
+                        codes, hits = codes
+                        h = float(hits)
+                        g = n_samples - self.rf
+                        self.last_spec_hit_rate = round(
+                            h / max(1.0, g - h), 4)
                 except Exception:
                     if not spec:
                         raise
@@ -221,6 +239,8 @@ class _Handler(socketserver.StreamRequestHandler):
                 resp = {"id": rid, "ms": round(dt * 1e3, 3),
                         "samples_per_sec": round(
                             generated * codes.shape[0] / dt, 1)}
+                if svc.last_spec_hit_rate is not None:
+                    resp["spec_hit_rate"] = svc.last_spec_hit_rate
                 if req.get("format", "codes") == "wav":
                     resp["wav_b64"] = svc.to_wav(codes)
                 else:
