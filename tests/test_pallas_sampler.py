@@ -329,8 +329,10 @@ def test_pallas_speculative_rejects_unsupported(rng_np):
                         video=video, interpret=True, speculative=True)
 
 
-@pytest.mark.parametrize("parity", [True, False])
-def test_pallas_speculative_sampled_matches_standard(parity, rng_np):
+@pytest.mark.parametrize("parity,fast", [(True, False), (False, False),
+                                         (True, True)])
+def test_pallas_speculative_sampled_matches_standard(parity, fast,
+                                                     rng_np):
     """Round 4: speculation extends to temperature sampling.  Both
     kernels draw POSITIONAL Gumbel noise keyed on (seed, position), so
     the speculative kernel reproduces the standard kernel's sampled
@@ -343,7 +345,7 @@ def test_pallas_speculative_sampled_matches_standard(parity, rng_np):
                          jnp.int32)
     n = rf + 120
     kw = dict(temperature=0.9, seed=11, parity_sampling=parity,
-              interpret=True)
+              fast=fast, interpret=True)
     want = np.asarray(pallas_generate(model, variables, prompt, n,
                                       **kw))
     got = np.asarray(pallas_generate(model, variables, prompt, n,
