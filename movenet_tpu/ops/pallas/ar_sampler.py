@@ -70,7 +70,11 @@ def _positional_gumbel(seed_i32, tt, batch: int, c_in: int):
     stream exactly.  Plain vector uint32 xors/shifts/mults also lower
     identically under Mosaic and the interpreter (pltpu.prng_* has no
     CPU-interpret implementation).  lowbias32 easily clears the bar
-    for audio sampling; this is not a cryptographic stream."""
+    for audio sampling; this is not a cryptographic stream.
+
+    Replaces the RNG behind the reference's torch.multinomial draw
+    (/root/reference/movenet/wavenet.py:227-231); the parity
+    softmax-then-divide score shaping is applied by the callers."""
     bi = jax.lax.broadcasted_iota(jnp.uint32, (batch, c_in), 0)
     ci = jax.lax.broadcasted_iota(jnp.uint32, (batch, c_in), 1)
     x = (tt.astype(jnp.uint32) * jnp.uint32(batch) + bi) \
