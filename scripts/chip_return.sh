@@ -43,6 +43,7 @@ prompt = jnp.asarray(rng.integers(0, 256, size=(1, rf)), jnp.int32)
 variables = model.init(jax.random.PRNGKey(0), prompt)
 n = rf + 4000
 for kw in ({}, {"speculative": True, "return_stats": True},
+           {"speculative": True, "spec_order": 2, "return_stats": True},
            {"fast": True},
            {"fast": True, "speculative": True, "return_stats": True}):
     t0 = time.time()

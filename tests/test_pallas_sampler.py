@@ -268,12 +268,48 @@ def test_pallas_speculative_adaptive_guesser_beats_frozen():
         speculative=True, spec_adaptive=True, return_stats=True)
     np.testing.assert_array_equal(np.asarray(got_f), want)
     np.testing.assert_array_equal(np.asarray(got_a), want)
-    # measured (deterministic seeds): frozen 8 hits (4.2% rate),
-    # adaptive 43 (27.4%) over 200 samples — the online table is the
-    # difference between speculation being a no-op and a ~1.3x win
+    # measured (deterministic seeds): frozen 12 hits, adaptive
+    # (3-gram default) 89 over 200 samples — the online table is the
+    # difference between speculation being a no-op and a ~1.8x win
     assert int(hits_a) > int(hits_f)
     # hits are committed pairs: 2*hits + misses == 200 samples
     assert 0 <= int(hits_a) <= 100
+
+
+def test_pallas_speculative_order3_beats_order2():
+    """The learned 3-gram pair table (round 4) must (a) keep the
+    output bit-identical — for ANY guess source the kernel only
+    commits on argmax agreement — and (b) out-hit the 2-gram on a
+    quasi-periodic signal: the same code occurs on both the rising and
+    the falling edge of the sine, so the 2-gram's single successor row
+    is wrong half the time while the (x_{t-1}, x_t) pair
+    disambiguates the direction.  Measured (deterministic seeds, 400
+    samples): order 2 = 90 hits (1.29x), order 3 = 177 (1.79x)."""
+    model, trained, codes = _trained_sine()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    n = rf + 400
+    want = np.asarray(pallas_generate(model, trained, prompt, n,
+                                      temperature=0.0, interpret=True))
+    got2, hits2 = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        speculative=True, spec_order=2, return_stats=True)
+    got3, hits3 = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        speculative=True, spec_order=3, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(got2), want)
+    np.testing.assert_array_equal(np.asarray(got3), want)
+    assert int(hits3) > int(hits2)
+
+
+def test_pallas_spec_order_validation():
+    model, variables = _model()
+    rf = model.receptive_fields
+    with pytest.raises(ValueError, match="spec_order"):
+        pallas_generate(model, variables,
+                        jnp.zeros((1, rf), jnp.int32), rf + 8,
+                        temperature=0.0, interpret=True,
+                        speculative=True, spec_order=4)
 
 
 def test_pallas_return_stats_requires_speculative():
