@@ -78,6 +78,7 @@ def generate_from_checkpoint(
     parity_sampling: bool = True,
     fast: bool = True,
     speculative: bool = False,
+    spec_order: int = 3,
 ):
     import jax
     import jax.numpy as jnp
@@ -141,6 +142,7 @@ def generate_from_checkpoint(
                                 video=video, labels=labels,
                                 parity_sampling=parity_sampling,
                                 fast=fast, speculative=spec_ok,
+                                spec_order=spec_order,
                                 return_stats=spec_ok)
         if spec_ok:
             codes, hits = codes
@@ -192,6 +194,11 @@ def main(argv=None):
                     help="B=1 greedy only: speculative-wavefront EXACT "
                          "kernel (bit-identical output, hit-rate-"
                          "dependent speedup on trained models)")
+    ap.add_argument("--spec_order", type=int, default=3,
+                    choices=(2, 3),
+                    help="speculative guesser order: 3 = learned "
+                         "(C,C) pair table with 2-gram fallback "
+                         "(default), 2 = learned successor column")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=Path, default=Path("generated"))
     args = ap.parse_args(argv)
@@ -199,7 +206,7 @@ def main(argv=None):
         args.checkpoint, args.dataset, args.n_samples, args.temperature,
         args.batch_size, args.use_video, args.out, args.seed,
         args.parity_sampling, fast=args.fast_sampler,
-        speculative=args.speculative)
+        speculative=args.speculative, spec_order=args.spec_order)
     for kind, paths in written.items():
         for p in paths:
             print(p)
