@@ -44,6 +44,7 @@ variables = model.init(jax.random.PRNGKey(0), prompt)
 n = rf + 4000
 for kw in ({}, {"speculative": True, "return_stats": True},
            {"speculative": True, "spec_order": 2, "return_stats": True},
+           {"speculative": True, "spec_depth": 2, "return_stats": True},
            {"fast": True},
            {"fast": True, "speculative": True, "return_stats": True}):
     t0 = time.time()

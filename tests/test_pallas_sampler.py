@@ -310,6 +310,78 @@ def test_pallas_spec_order_validation():
                         jnp.zeros((1, rf), jnp.int32), rf + 8,
                         temperature=0.0, interpret=True,
                         speculative=True, spec_order=4)
+    with pytest.raises(ValueError, match="spec_depth"):
+        pallas_generate(model, variables,
+                        jnp.zeros((1, rf), jnp.int32), rf + 8,
+                        temperature=0.0, interpret=True,
+                        speculative=True, spec_depth=3)
+    with pytest.raises(ValueError, match="exact chain"):
+        pallas_generate(model, variables,
+                        jnp.zeros((1, rf), jnp.int32), rf + 8,
+                        temperature=0.0, interpret=True, fast=True,
+                        speculative=True, spec_depth=2)
+
+
+def test_pallas_speculative_depth2_matches_exact_trained():
+    """Depth-2 speculation (flag-gated, default depth 1) runs a THIRD
+    chain skewed two layers and commits up to three samples per
+    iteration when both guesses agree with the real argmax chain.
+    Output must stay bit-identical for any guess pair, and on the
+    predictable sine fixture the second hop must raise the multiplier
+    (measured: 1.79x depth-1 -> 2.14x depth-2 over 400 samples)."""
+    model, trained, codes = _trained_sine()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    n = rf + 400
+    want = np.asarray(pallas_generate(model, trained, prompt, n,
+                                      temperature=0.0, interpret=True))
+    got1, hits1 = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        speculative=True, spec_depth=1, return_stats=True)
+    got2, hits2 = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        speculative=True, spec_depth=2, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(got1), want)
+    np.testing.assert_array_equal(np.asarray(got2), want)
+    # hits count COMMITTED speculative samples; with two hops a single
+    # iteration can commit two of them
+    assert int(hits2) > int(hits1)
+    assert 0 <= int(hits2) <= (2 * 400) // 3 + 1
+
+
+def test_pallas_speculative_depth2_odd_tail(rng_np):
+    """Random weights (miss-rich) + an n that can land the final
+    sample on either speculative hop: the t+1/t+2 boundary guards must
+    never emit past n_samples."""
+    model, variables = _model()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(rng_np.integers(0, 32, size=(1, rf)),
+                         jnp.int32)
+    for extra in (161, 129, 130):
+        n = rf + extra
+        want = np.asarray(pallas_generate(model, variables, prompt, n,
+                                          temperature=0.0,
+                                          interpret=True))
+        got = np.asarray(pallas_generate(
+            model, variables, prompt, n, temperature=0.0,
+            interpret=True, speculative=True, spec_depth=2))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_speculative_depth2_sampled(rng_np):
+    """Sampled depth-2: positional Gumbel keys by absolute position,
+    so the three-at-a-time wavefront still reproduces the standard
+    kernel's stream bit-exactly."""
+    model, trained, codes = _trained_sine()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    n = rf + 161
+    kw = dict(temperature=0.3, seed=7, interpret=True)
+    want = np.asarray(pallas_generate(model, trained, prompt, n, **kw))
+    got, _ = pallas_generate(model, trained, prompt, n,
+                             speculative=True, spec_depth=2,
+                             return_stats=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_pallas_return_stats_requires_speculative():
