@@ -418,8 +418,6 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                       adaptive: bool = True, temperature: float = 0.0,
                       parity_sampling: bool = True, order: int = 2,
                       depth: int = 1):
-    assert not (fast and depth == 2), \
-        "depth-2 speculation is built for the exact chain only"
     """Speculative-wavefront EXACT sampler (B=1, no video).
 
     temperature > 0 (round 4): sampling speculates too.  Both kernels
@@ -469,6 +467,8 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
     reference's naive per-sample full-forward loop
     (/root/reference/movenet/wavenet.py:193-239).
     """
+    assert not (fast and depth == 2), \
+        "depth-2 speculation is built for the exact chain only"
     offsets = np.concatenate([[0], np.cumsum(dilations)[:-1]]).tolist()
     n_layers = len(dilations)
     dot = (functools.partial(jnp.dot,
@@ -828,26 +828,6 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
         hits_ref[pl.ds(0, 1), :] = final[4]
 
     return kernel
-
-
-def spec_table_np(prompt_row: np.ndarray, c_in: int) -> np.ndarray:
-    """(T,) prompt codes -> (C, 1) f32 2-gram table: T2[a] = the code
-    that most recently followed ``a`` in the prompt; -1 where unseen
-    (one-hots to zeros in-kernel and misses naturally)."""
-    t2 = np.full((c_in, 1), -1.0, np.float32)
-    p = np.asarray(prompt_row)
-    t2[p[:-1], 0] = p[1:]
-    return t2
-
-
-def spec_table3_np(prompt_row: np.ndarray, c_in: int) -> np.ndarray:
-    """(T,) prompt codes -> (C, C) f32 3-gram table: T3[a, b] = the
-    code that most recently followed the pair (a, b) in the prompt; -1
-    where unseen (the kernel then falls back to the 2-gram row)."""
-    t3 = np.full((c_in, c_in), -1.0, np.float32)
-    p = np.asarray(prompt_row)
-    t3[p[:-2], p[1:-1]] = p[2:]
-    return t3
 
 
 @functools.partial(

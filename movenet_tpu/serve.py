@@ -58,7 +58,7 @@ class GenerationService:
 
     def __init__(self, checkpoint_dir: Path, parity_sampling: bool = True,
                  fast: bool = True, prefer_pallas: Optional[bool] = None,
-                 speculative: bool = True):
+                 speculative: bool = True, spec_order: int = 3):
         import jax
 
         from movenet_tpu.generate import load_checkpoint_model
@@ -71,7 +71,11 @@ class GenerationService:
         self.parity_sampling = parity_sampling
         self.fast = fast
         self.speculative = speculative
-        self.spec_order = 3
+        # 3 = learned pair table (default); pass 2 on a backend known
+        # to fail the 3-gram lowering to skip the first-request
+        # compile attempt (the staged fallback downgrades at runtime
+        # otherwise)
+        self.spec_order = spec_order
         if prefer_pallas is None:
             prefer_pallas = jax.default_backend() == "tpu"
         self.prefer_pallas = prefer_pallas
@@ -279,11 +283,13 @@ def serve(checkpoint_dir: Path, host: str = "127.0.0.1",
           port: int = 7631, warmup: bool = True,
           parity_sampling: bool = True, fast: bool = True,
           prefer_pallas: Optional[bool] = None,
-          speculative: bool = True) -> GenerationServer:
+          speculative: bool = True,
+          spec_order: int = 3) -> GenerationServer:
     svc = GenerationService(checkpoint_dir,
                             parity_sampling=parity_sampling, fast=fast,
                             prefer_pallas=prefer_pallas,
-                            speculative=speculative)
+                            speculative=speculative,
+                            spec_order=spec_order)
     if warmup:
         dt = svc.warmup()
         logger.info("sampler warm (compile+first run: %.1fs)", dt)
@@ -323,6 +329,11 @@ def main(argv=None):
                     help="route B=1 greedy requests through the "
                     "speculative wavefront kernel (auto-falls back to "
                     "the standard kernel if its lowering fails)")
+    ap.add_argument("--spec_order", type=int, default=3,
+                    choices=(2, 3),
+                    help="speculative guesser order (3: learned pair "
+                    "table, default; 2 skips the 3-gram compile on "
+                    "backends known to fail its lowering)")
     # client mode
     ap.add_argument("--connect", type=str, default=None,
                     help="host:port — run as client instead of server")
@@ -359,7 +370,8 @@ def main(argv=None):
                    warmup=not args.no_warmup,
                    parity_sampling=args.parity_sampling,
                    fast=args.fast_sampler,
-                   speculative=args.speculative)
+                   speculative=args.speculative,
+                   spec_order=args.spec_order)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -31,12 +31,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-import optax  # noqa: E402
 
-from movenet_tpu.config import ModelConfig  # noqa: E402
-from movenet_tpu.data.preprocess import mu_law_encode_np  # noqa: E402
-from movenet_tpu.models.wavenet import make_wavenet  # noqa: E402
 from movenet_tpu.ops.pallas.ar_sampler import pallas_generate  # noqa: E402
+from movenet_tpu.utils.fixtures import train_overfit  # noqa: E402
 
 
 def fixtures():
@@ -44,39 +41,21 @@ def fixtures():
     rng = np.random.default_rng(0)
     dual = 0.6 * np.sin(t) + 0.35 * np.sin(np.e * t) \
         * (0.8 + 0.2 * np.sin(0.1 * t))
+    # the synthetic Kinetics stand-in's own audio (chord of three
+    # category-keyed tones x beat envelope, data/synthetic.py
+    # synth_clip) — the closest thing this image has to a
+    # kinetics-trained checkpoint's data distribution, decimated to
+    # keep the toy model's RF spanning multiple periods
+    from movenet_tpu.data.synthetic import synth_clip
+
+    _, audio = synth_clip(np.random.default_rng(3), category_id=1,
+                          duration_s=1.0)
     return {
         "sine": np.sin(t),
         "dual": dual,
         "noisy": dual + 0.05 * rng.standard_normal(t.shape),
+        "synth": audio[::40][:400].astype(np.float64),
     }
-
-
-def train(wave, c=32, steps=200):
-    cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=c,
-                      residual_channels=16, skip_channels=16,
-                      compute_dtype="float32")
-    model = make_wavenet(cfg)
-    rf = model.receptive_fields
-    codes = mu_law_encode_np(wave, c)
-    cj = jnp.asarray(np.tile(codes[None], (2, 1)), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), cj)["params"]
-    tx = optax.adam(5e-3)
-    opt = tx.init(params)
-
-    def loss_fn(p):
-        logits = model.apply({"params": p}, cj,
-                             method=model.train_logits)
-        tgt = cj[:, rf:]
-        nll = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
-            logits, tgt[..., None], -1)[..., 0]
-        return nll.mean()
-
-    step = jax.jit(lambda p, o: (lambda g: tx.update(g, o, p))(
-        jax.grad(loss_fn)(p)))
-    for _ in range(steps):
-        updates, opt = step(params, opt)
-        params = optax.apply_updates(params, updates)
-    return model, {"params": params}, codes
 
 
 def main():
@@ -86,7 +65,7 @@ def main():
     args = ap.parse_args()
 
     for name, wave in fixtures().items():
-        model, trained, codes = train(wave, steps=args.steps)
+        model, trained, codes = train_overfit(wave, steps=args.steps)
         rf = model.receptive_fields
         prompt = jnp.asarray(codes[None, :rf], jnp.int32)
         n = rf + args.samples

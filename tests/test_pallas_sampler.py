@@ -172,38 +172,8 @@ def test_pallas_speculative_matches_exact_trained(rng_np):
     """Hit-rich regime: a sine-overfit model whose greedy continuation
     the prompt 2-gram table predicts well — exercises the spec ring
     commits and double emission, which must stay bit-identical."""
-    import optax
-
-    from movenet_tpu.data.preprocess import mu_law_encode_np
-
-    cfg = ModelConfig(layer_size=3, stack_size=2, input_channels=32,
-                      residual_channels=16, skip_channels=16,
-                      compute_dtype="float32")
-    model = make_wavenet(cfg)
+    model, trained, codes = _trained_sine()
     rf = model.receptive_fields
-    wave = np.sin(np.arange(0, 60, 0.15))            # 400 samples
-    codes = mu_law_encode_np(wave, 32)
-    cj = jnp.asarray(np.tile(codes[None], (2, 1)), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), cj)
-    params = variables["params"]
-    tx = optax.adam(5e-3)
-    opt = tx.init(params)
-
-    def loss_fn(p):
-        logits = model.apply({"params": p}, cj,
-                             method=model.train_logits)
-        tgt = cj[:, rf:]
-        nll = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
-            logits, tgt[..., None], -1)[..., 0]
-        return nll.mean()
-
-    step = jax.jit(lambda p, o: (lambda g: tx.update(g, o, p))(
-        jax.grad(loss_fn)(p)))
-    for _ in range(150):
-        updates, opt = step(params, opt)
-        params = optax.apply_updates(params, updates)
-    trained = {"params": params}
-
     prompt = jnp.asarray(codes[None, :rf], jnp.int32)
     n = rf + 200
     want = np.asarray(pallas_generate(model, trained, prompt, n,
@@ -215,36 +185,10 @@ def test_pallas_speculative_matches_exact_trained(rng_np):
 
 
 def _trained_sine(layer=3, stack=2, c=32, r=16, s=16, steps=150):
-    import optax
+    from movenet_tpu.utils.fixtures import sine_wave, train_overfit
 
-    from movenet_tpu.data.preprocess import mu_law_encode_np
-
-    cfg = ModelConfig(layer_size=layer, stack_size=stack,
-                      input_channels=c, residual_channels=r,
-                      skip_channels=s, compute_dtype="float32")
-    model = make_wavenet(cfg)
-    rf = model.receptive_fields
-    wave = np.sin(np.arange(0, 60, 0.15))            # 400 samples
-    codes = mu_law_encode_np(wave, c)
-    cj = jnp.asarray(np.tile(codes[None], (2, 1)), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), cj)["params"]
-    tx = optax.adam(5e-3)
-    opt = tx.init(params)
-
-    def loss_fn(p):
-        logits = model.apply({"params": p}, cj,
-                             method=model.train_logits)
-        tgt = cj[:, rf:]
-        nll = jax.nn.logsumexp(logits, -1) - jnp.take_along_axis(
-            logits, tgt[..., None], -1)[..., 0]
-        return nll.mean()
-
-    step = jax.jit(lambda p, o: (lambda g: tx.update(g, o, p))(
-        jax.grad(loss_fn)(p)))
-    for _ in range(steps):
-        updates, opt = step(params, opt)
-        params = optax.apply_updates(params, updates)
-    return model, {"params": params}, codes
+    return train_overfit(sine_wave(), c=c, layer=layer, stack=stack,
+                         r=r, s=s, steps=steps)
 
 
 def test_pallas_speculative_adaptive_guesser_beats_frozen():
