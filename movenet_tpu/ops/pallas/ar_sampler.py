@@ -433,7 +433,7 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
 
     Runs step t's chain and a speculative step-(t+1) chain skewed by
     ONE layer in the same iteration.  ``depth == 2`` (flag-gated,
-    exact chain only) adds a third chain skewed TWO layers that
+    both kernel variants) adds a third chain skewed TWO layers that
     evaluates step t+2 under the guess pair (g1, g2 = table[x_t, g1]);
     when both guesses match the real argmax chain the iteration
     commits three samples (measured on the trained sine fixture:
@@ -467,8 +467,6 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
     reference's naive per-sample full-forward loop
     (/root/reference/movenet/wavenet.py:193-239).
     """
-    assert not (fast and depth == 2), \
-        "depth-2 speculation is built for the exact chain only"
     offsets = np.concatenate([[0], np.cumsum(dilations)[:-1]]).tolist()
     n_layers = len(dilations)
     dot = (functools.partial(jnp.dot,
@@ -586,6 +584,12 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                     + (dot(code_oh, fp0_ref[:, :])
                        + dot(h, w_p0c_ref[:, :])
                        + b_fg_ref[pl.ds(0, 1), :])
+                if depth == 2:
+                    # layer-0 tap at t+2 is s1's front embed hs
+                    fg_s2 = dot(g2_oh, fc0_ref[:, :]) \
+                        + (dot(g_oh, fp0_ref[:, :])
+                           + dot(hs, w_p0c_ref[:, :])
+                           + b_fg_ref[pl.ds(0, 1), :])
                 for l in range(n_layers):
                     slot_l = slot_of(l, t)
                     d = dilations[l]
@@ -597,6 +601,12 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                     bo = b_out_ref[pl.ds(l, 1), :]
                     outl = dot(gated, w_out_ref[l]) + bo
                     outl_s = dot(gated_s, w_out_ref[l]) + bo
+                    if depth == 2:
+                        slot_s2 = slot_l if d <= 2 else slot_of(l, t + 2)
+                        v_s2 = jnp.tanh(fg_s2)
+                        gated_s2 = v_s2[:, :r] * v_s2[:, r:] \
+                            + v_s2[:, :r]
+                        outl_s2 = dot(gated_s2, w_out_ref[l]) + bo
                     if l + 1 < n_layers:
                         fgp = dot(gated, w_prod_ref[l])     # critical
                         fgp_s = dot(gated_s, w_prod_ref[l])
@@ -604,25 +614,47 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                         past_n = buf_ref[pl.ds(slot_of(l + 1, t), 1), :]
                         pre = fg_of(l + 1, h, past_n)
                         h_next = outl[:, :r] + h
+                        hs_next = outl_s[:, :r] + hs
                         if d1 == 1:
                             past_ns = h_next
                         else:
                             past_ns = buf_ref[
                                 pl.ds(slot_of(l + 1, t + 1), 1), :]
                         pre_s = fg_of(l + 1, hs, past_ns)
+                        if depth == 2:
+                            fgp_s2 = dot(gated_s2, w_prod_ref[l])
+                            # s2's layer-(l+1) tap at t+2: s1's input
+                            # for d1 == 1, the real chain's for
+                            # d1 == 2, untouched ring state otherwise
+                            if d1 == 1:
+                                past_ns2 = hs_next
+                            elif d1 == 2:
+                                past_ns2 = h_next
+                            else:
+                                past_ns2 = buf_ref[
+                                    pl.ds(slot_of(l + 1, t + 2), 1), :]
+                            pre_s2 = fg_of(l + 1, hs2, past_ns2)
                         buf_ref[pl.ds(slot_l, 1), :] = h
                         spec_writes.append((slot_s, hs))
                         skip_sum = skip_sum + outl[:, r:]
                         skip_sum_s = skip_sum_s + outl_s[:, r:]
                         h = h_next
-                        hs = outl_s[:, :r] + hs
+                        hs = hs_next
                         fg = fgp + pre
                         fg_s = fgp_s + pre_s
+                        if depth == 2:
+                            s2_writes.append((slot_s2, hs2))
+                            skip_sum_s2 = skip_sum_s2 + outl_s2[:, r:]
+                            hs2 = outl_s2[:, :r] + hs2
+                            fg_s2 = fgp_s2 + pre_s2
                     else:
                         buf_ref[pl.ds(slot_l, 1), :] = h
                         spec_writes.append((slot_s, hs))
                         skip_sum = skip_sum + outl[:, r:]
                         skip_sum_s = skip_sum_s + outl_s[:, r:]
+                        if depth == 2:
+                            s2_writes.append((slot_s2, hs2))
+                            skip_sum_s2 = skip_sum_s2 + outl_s2[:, r:]
             else:
                 for l in range(n_layers):
                     d = dilations[l]
@@ -893,10 +925,6 @@ def pallas_generate(
         raise ValueError(f"spec_order must be 2 or 3, got {spec_order}")
     if spec_depth not in (1, 2):
         raise ValueError(f"spec_depth must be 1 or 2, got {spec_depth}")
-    if spec_depth == 2 and fast:
-        raise ValueError(
-            "spec_depth=2 runs on the exact chain only (fast=False); "
-            "the packed fast wavefront is depth-1")
 
     dil = model.dilations
     sum_d = int(np.sum(dil))

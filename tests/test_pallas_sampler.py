@@ -259,11 +259,28 @@ def test_pallas_spec_order_validation():
                         jnp.zeros((1, rf), jnp.int32), rf + 8,
                         temperature=0.0, interpret=True,
                         speculative=True, spec_depth=3)
-    with pytest.raises(ValueError, match="exact chain"):
-        pallas_generate(model, variables,
-                        jnp.zeros((1, rf), jnp.int32), rf + 8,
-                        temperature=0.0, interpret=True, fast=True,
-                        speculative=True, spec_depth=2)
+
+
+def test_pallas_speculative_depth2_fast_matches_fast():
+    """Depth-2 on the packed fast wavefront (serve's default kernel
+    variant): output must bit-match the non-speculative fast kernel,
+    and the second hop must out-commit depth 1."""
+    model, trained, codes = _trained_sine()
+    rf = model.receptive_fields
+    prompt = jnp.asarray(codes[None, :rf], jnp.int32)
+    n = rf + 400
+    want = np.asarray(pallas_generate(model, trained, prompt, n,
+                                      temperature=0.0, interpret=True,
+                                      fast=True))
+    got1, hits1 = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        fast=True, speculative=True, spec_depth=1, return_stats=True)
+    got2, hits2 = pallas_generate(
+        model, trained, prompt, n, temperature=0.0, interpret=True,
+        fast=True, speculative=True, spec_depth=2, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(got1), want)
+    np.testing.assert_array_equal(np.asarray(got2), want)
+    assert int(hits2) > int(hits1)
 
 
 def test_pallas_speculative_depth2_matches_exact_trained():
