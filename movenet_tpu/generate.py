@@ -79,6 +79,7 @@ def generate_from_checkpoint(
     fast: bool = True,
     speculative: bool = False,
     spec_order: int = 3,
+    spec_depth: int = 1,
 ):
     import jax
     import jax.numpy as jnp
@@ -143,6 +144,7 @@ def generate_from_checkpoint(
                                 parity_sampling=parity_sampling,
                                 fast=fast, speculative=spec_ok,
                                 spec_order=spec_order,
+                                spec_depth=spec_depth,
                                 return_stats=spec_ok)
         if spec_ok:
             codes, hits = codes
@@ -199,6 +201,11 @@ def main(argv=None):
                     help="speculative guesser order: 3 = learned "
                          "(C,C) pair table with 2-gram fallback "
                          "(default), 2 = learned successor column")
+    ap.add_argument("--spec_depth", type=int, default=1,
+                    choices=(1, 2),
+                    help="speculative chains per iteration beyond the "
+                         "real one (2 commits up to 3 samples/iter on "
+                         "double hits; default 1)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=Path, default=Path("generated"))
     args = ap.parse_args(argv)
@@ -206,7 +213,8 @@ def main(argv=None):
         args.checkpoint, args.dataset, args.n_samples, args.temperature,
         args.batch_size, args.use_video, args.out, args.seed,
         args.parity_sampling, fast=args.fast_sampler,
-        speculative=args.speculative, spec_order=args.spec_order)
+        speculative=args.speculative, spec_order=args.spec_order,
+        spec_depth=args.spec_depth)
     for kind, paths in written.items():
         for p in paths:
             print(p)
