@@ -149,10 +149,15 @@ def generate_from_checkpoint(
         if spec_ok:
             codes, hits = codes
             h, g = float(hits), n - rf
+            # g - h is the iteration count at any spec_depth (each
+            # iteration yields one real sample plus h committed
+            # speculative ones overall), so g/(g-h) is the
+            # steps-per-iteration multiplier — a percentage-style "hit
+            # rate" is only well-defined at depth 1
             logger.info(
                 "speculative decode: %d/%d samples from committed "
-                "guesses (hit rate %.1f%%/iter)", int(h), g,
-                100.0 * h / max(1.0, g - h))
+                "guesses (%.2fx steps/iteration)", int(h), g,
+                g / max(1.0, g - h))
     else:
         codes = fast_generate(model, variables, prompt, n,
                               temperature=temperature,

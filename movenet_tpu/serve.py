@@ -102,10 +102,24 @@ class GenerationService:
                  ) -> np.ndarray:
         """(B, n_samples) int32 mu-law codes (prompt included).
 
-        When the speculative route serves the request, the per-request
-        hit rate is stored in ``self.last_spec_hit_rate`` (None
-        otherwise) and surfaced in the response as ``spec_hit_rate``.
-        """
+        ``self.last_spec_hit_rate`` mirrors the most recent request's
+        speculative hit rate for inspection; concurrent handlers must
+        use :meth:`generate_with_stats`, whose return value cannot be
+        overwritten by another request between generation and response
+        assembly (the attribute can)."""
+        return self.generate_with_stats(n_samples, temperature,
+                                        prompt, seed)[0]
+
+    def generate_with_stats(self, n_samples: int,
+                            temperature: float = 1.0,
+                            prompt: Optional[np.ndarray] = None,
+                            seed: int = 0):
+        """(codes, spec_hit_rate-or-None) for one request.
+
+        The hit rate is returned per call (and None whenever the
+        request was NOT served by the speculative route, including the
+        scan-sampler branch) so responses never carry a previous
+        request's rate."""
         import jax
         import jax.numpy as jnp
 
@@ -146,7 +160,7 @@ class GenerationService:
                 # not worth the spec chain's overhead
                 spec = bool(self.speculative and b == 1
                             and float(temperature) == 0.0)
-                self.last_spec_hit_rate = None
+                hit_rate = None
                 codes = None
                 while spec:
                     try:
@@ -160,8 +174,7 @@ class GenerationService:
                             return_stats=True)
                         h = float(hits)
                         g = n_samples - self.rf
-                        self.last_spec_hit_rate = round(
-                            h / max(1.0, g - h), 4)
+                        hit_rate = round(h / max(1.0, g - h), 4)
                         break
                     except Exception:
                         # fail safe (round-3 VERDICT weak #1), staged:
@@ -191,12 +204,14 @@ class GenerationService:
                         parity_sampling=self.parity_sampling,
                         fast=self.fast, speculative=False)
             else:
+                hit_rate = None
                 codes = fast_generate(
                     self.model, self.variables, prompt_j, n_samples,
                     temperature=float(temperature),
                     rng=jax.random.PRNGKey(int(seed)),
                     parity_sampling=self.parity_sampling)
-            return np.asarray(codes)
+            self.last_spec_hit_rate = hit_rate
+            return np.asarray(codes), hit_rate
 
     def warmup(self, n: Optional[int] = None) -> float:
         """Compile the sampler at a canonical size; returns seconds."""
@@ -244,7 +259,7 @@ class _Handler(socketserver.StreamRequestHandler):
                                 "model": svc.info()})
                     continue
                 t0 = time.perf_counter()
-                codes = svc.generate(
+                codes, hit_rate = svc.generate_with_stats(
                     req.get("n_samples", svc.rf + 16_000),
                     temperature=req.get("temperature", 1.0),
                     prompt=req.get("prompt"),
@@ -254,8 +269,8 @@ class _Handler(socketserver.StreamRequestHandler):
                 resp = {"id": rid, "ms": round(dt * 1e3, 3),
                         "samples_per_sec": round(
                             generated * codes.shape[0] / dt, 1)}
-                if svc.last_spec_hit_rate is not None:
-                    resp["spec_hit_rate"] = svc.last_spec_hit_rate
+                if hit_rate is not None:
+                    resp["spec_hit_rate"] = hit_rate
                 if req.get("format", "codes") == "wav":
                     resp["wav_b64"] = svc.to_wav(codes)
                 else:

@@ -102,8 +102,21 @@ class CheckpointManager:
             # top-level param keys from checkpoint metadata first (cheap
             # — no array reads): a transient IO error or corrupt file
             # must re-raise the original error instead of paying a
-            # second full unstructured read.
+            # second full unstructured read.  When the metadata ITSELF
+            # is unreadable (older orbax writers without tree
+            # metadata), fall back to one raw unstructured read to
+            # recover the keys — those checkpoints were migratable
+            # before the metadata probe existed and must stay so; a
+            # transient IO error fails this read too and the original
+            # error still propagates.
+            raw = None
             saved_keys = self._saved_param_keys(step)
+            if saved_keys is None:
+                try:
+                    raw = self._mgr.restore(step)
+                    saved_keys = set(raw["params"].keys())
+                except Exception:
+                    saved_keys = None
             if saved_keys is not None and "block_0" in saved_keys:
                 # pre-round-2 checkpoints store per-block submodules
                 # (block_{i}/w_cur, ...).  Restore as-saved, stack the
@@ -115,7 +128,8 @@ class CheckpointManager:
                     "checkpoint at step %s uses the legacy per-block "
                     "parameter layout: migrating params to the stacked "
                     "layout and RESETTING optimizer state", step)
-                raw = self._mgr.restore(step)
+                if raw is None:
+                    raw = self._mgr.restore(step)
                 # tree.map against the template validates the migrated
                 # structure and keeps the template's leaf dtypes
                 params = jax.tree.map(
@@ -138,7 +152,8 @@ class CheckpointManager:
                     "checkpoint at step %s has parameter leaves the "
                     "current model lacks (%s): dropping them and "
                     "RESETTING optimizer state", step, ", ".join(extra))
-                raw = self._mgr.restore(step)
+                if raw is None:
+                    raw = self._mgr.restore(step)
                 params = jax.tree.map(
                     lambda t, x: jax.numpy.asarray(x, t.dtype),
                     state.params,

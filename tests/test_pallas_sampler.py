@@ -2,6 +2,8 @@
 same kernel is verified compiled-on-TPU by bench.py and the verify
 drive — greedy output is bit-identical to the scan sampler there too)."""
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -184,7 +186,10 @@ def test_pallas_speculative_matches_exact_trained(rng_np):
     np.testing.assert_array_equal(got, want)
 
 
+@functools.lru_cache(maxsize=2)
 def _trained_sine(layer=3, stack=2, c=32, r=16, s=16, steps=150):
+    # cached: seven tests share the identical deterministic overfit —
+    # train it once per process (params are immutable jax arrays)
     from movenet_tpu.utils.fixtures import sine_wave, train_overfit
 
     return train_overfit(sine_wave(), c=c, layer=layer, stack=stack,
