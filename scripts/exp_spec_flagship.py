@@ -62,9 +62,12 @@ def main():
         for depth in (1, 2):
             h, it = simulate_spec_hits(toks, c_in=256, rf=rf,
                                        order=order, depth=depth)
+            # h/(g-h) == h/it is bench's spec_hit_rate_trained field;
+            # above 1.0 it reads as committed spec samples per
+            # iteration (a %-style rate is only well-defined at depth 1)
             print(f"order={order} depth={depth}: {h}/{args.n} committed "
                   f"({args.n / it:.2f}x steps/iter, "
-                  f"hit rate {h / it:.1%}/iter)", flush=True)
+                  f"spec_hit_rate_trained={h / it:.3f})", flush=True)
 
 
 if __name__ == "__main__":
