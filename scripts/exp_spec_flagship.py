@@ -38,11 +38,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--n", type=int, default=16_000)
+    ap.add_argument("--wave", choices=("sine", "synth"), default="sine",
+                    help="sine = bench's exact trained-gate scenario; "
+                    "synth = the synthetic-Kinetics chord*AM audio "
+                    "(data/synthetic.py) as a serving-realism proxy")
     args = ap.parse_args()
 
     t0 = time.time()
-    # bench.py::_trained_model_record's exact model/data shape
-    wave = np.sin(np.arange(0, 400, 0.1))            # 4000 samples
+    if args.wave == "sine":
+        # bench.py::_trained_model_record's exact model/data shape
+        wave = np.sin(np.arange(0, 400, 0.1))        # 4000 samples
+    else:
+        from movenet_tpu.data.synthetic import synth_clip
+
+        _, audio = synth_clip(np.random.default_rng(3), category_id=1,
+                              duration_s=1.0)
+        wave = audio[:4000].astype(np.float64)       # 16 kHz, 0.25 s
     model, trained, codes = train_overfit(
         wave, c=256, layer=10, stack=3, r=64, s=64,
         steps=args.steps, lr=3e-3)
