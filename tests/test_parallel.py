@@ -299,3 +299,54 @@ def test_fused_shard_map_with_video_ctx_proj():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
         s_f.params, s_x.params)
+
+
+def test_bench_mesh_train_env_composition():
+    """bench._mesh_train_env is THE definition of the deployed
+    mesh/step/shard composition every official train leg runs through
+    (round-3 VERDICT item 3); exercise all three usage shapes (single
+    step, scan-of-N, config override) so a drift in bench wiring fails
+    here instead of silently benching a different lowering."""
+    import dataclasses
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    # video frames at a clean 10x upsample ratio (1280 = 128 * 10)
+    model_cfg = ModelConfig(
+        layer_size=3, stack_size=1, input_channels=32,
+        residual_channels=16, skip_channels=16,
+        compute_dtype="float32",
+        max_audio_frames=1280, max_video_frames=128)
+    cfg = TrainingConfig(
+        model_config=model_cfg, optimizer="Adam", learning_rate=1e-3,
+        scheduler=None, mesh=MeshConfig(data=1, seq=1))
+    model = make_wavenet(model_cfg)
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        codes=rng.integers(0, 32, size=(2, 1280)).astype(np.int32),
+        video=rng.standard_normal((2, 128, 16, 16, 1)).astype(
+            np.float32))
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0),
+                               batch)
+    fused_cfg = dataclasses.replace(cfg, fused_blocks=True,
+                                    fused_interpret=True)
+    mesh, sharded, make_step = bench._mesh_train_env(
+        model, fused_cfg, batch)
+    assert mesh.shape == {"data": 1, "seq": 1}
+    with mesh:
+        s1, m1 = make_step()(state, sharded)
+        # scan-of-2 over the same sharded batch
+        b2 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (2,) + x.shape),
+            sharded)
+        s2, m2 = make_step(n_scan=2)(state, b2)
+        # config override: the unfused XLA leg of the fused-vs-XLA gate
+        sx, mx = make_step(c=cfg)(state, sharded)
+    np.testing.assert_allclose(float(m1["loss"]), float(mx["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(m2["loss"])[0]),
+                               float(m1["loss"]), rtol=1e-5)
