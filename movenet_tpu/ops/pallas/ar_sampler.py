@@ -659,13 +659,17 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                 for l in range(n_layers):
                     d = dilations[l]
                     slot_r = slot_of(l, t)
-                    past = buf_ref[pl.ds(slot_r, 1), :]
-                    fg = _dot(jnp.concatenate([h, past], axis=1),
-                              w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
-                    gated = jnp.tanh(fg[:, :r]) \
-                        * jax.nn.sigmoid(fg[:, r:])
-                    outl = _dot(gated, w_out_ref[l]) \
-                        + b_out_ref[pl.ds(l, 1), :]
+
+                    def gate_layer(h_in, past, l=l):
+                        fg_l = _dot(
+                            jnp.concatenate([h_in, past], axis=1),
+                            w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
+                        gated_l = jnp.tanh(fg_l[:, :r]) \
+                            * jax.nn.sigmoid(fg_l[:, r:])
+                        return _dot(gated_l, w_out_ref[l]) \
+                            + b_out_ref[pl.ds(l, 1), :]
+
+                    outl = gate_layer(h, buf_ref[pl.ds(slot_r, 1), :])
                     # spec layer l, one behind: its past tap at t+1 is
                     # the real chain's layer-l input for d == 1, ring
                     # state (untouched this iteration) otherwise
@@ -674,12 +678,7 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                     else:
                         slot_s = slot_of(l, t + 1)
                         past_s = buf_ref[pl.ds(slot_s, 1), :]
-                    fg_s = _dot(jnp.concatenate([hs, past_s], axis=1),
-                                w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
-                    gated_s = jnp.tanh(fg_s[:, :r]) \
-                        * jax.nn.sigmoid(fg_s[:, r:])
-                    outl_s = _dot(gated_s, w_out_ref[l]) \
-                        + b_out_ref[pl.ds(l, 1), :]
+                    outl_s = gate_layer(hs, past_s)
                     if depth == 2:
                         # s2, two behind: its past tap at t+2 is s1's
                         # layer-l input for d == 1, the real chain's
@@ -692,13 +691,7 @@ def _make_spec_kernel(dilations, rf: int, n_samples: int, c_in: int,
                         else:
                             slot_s2 = slot_of(l, t + 2)
                             past_s2 = buf_ref[pl.ds(slot_s2, 1), :]
-                        fg_s2 = _dot(
-                            jnp.concatenate([hs2, past_s2], axis=1),
-                            w_fg_ref[l]) + b_fg_ref[pl.ds(l, 1), :]
-                        gated_s2 = jnp.tanh(fg_s2[:, :r]) \
-                            * jax.nn.sigmoid(fg_s2[:, r:])
-                        outl_s2 = _dot(gated_s2, w_out_ref[l]) \
-                            + b_out_ref[pl.ds(l, 1), :]
+                        outl_s2 = gate_layer(hs2, past_s2)
                         s2_writes.append((slot_s2, hs2))
                         skip_sum_s2 = skip_sum_s2 + outl_s2[:, r:]
                     buf_ref[pl.ds(slot_r, 1), :] = h

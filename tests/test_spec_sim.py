@@ -5,8 +5,6 @@ means one of the two mis-states the algorithm.  Cross-checked in both
 the hit-rich (trained) and miss-rich (random weights) regimes at every
 (order, depth, adaptive) combination the kernel supports."""
 
-import functools
-
 import numpy as np
 import pytest
 
@@ -17,13 +15,9 @@ from movenet_tpu.config import ModelConfig
 from movenet_tpu.models.wavenet import make_wavenet
 from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
 from movenet_tpu.utils.spec_sim import simulate_spec_hits
-
-
-@functools.lru_cache(maxsize=1)
-def _trained():
-    from movenet_tpu.utils.fixtures import sine_wave, train_overfit
-
-    return train_overfit(sine_wave())
+# shares test_pallas_sampler's lru_cache so one pytest process trains
+# the deterministic fixture once across both modules
+from test_pallas_sampler import _trained_sine as _trained
 
 
 COMBOS = [
