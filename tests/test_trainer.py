@@ -114,6 +114,17 @@ def test_cli_end_to_end_video(dataset_root, tmp_path, monkeypatch):
     assert len(written["generated"]) == 1
     assert written["generated"][0].exists()
 
+    # the argparse surface end-to-end, including the speculative
+    # flags (on CPU the scan sampler serves the request; the flag
+    # plumb through main -> generate_from_checkpoint is what's pinned)
+    from movenet_tpu.generate import main as gen_main
+
+    gen_main(["--checkpoint", str(out), "--n_samples", "150",
+              "--temperature", "0.0", "--batch_size", "1",
+              "--speculative", "1", "--spec_order", "2",
+              "--spec_depth", "2", "--out", str(tmp_path / "gen2")])
+    assert list((tmp_path / "gen2").rglob("generated_*.wav"))
+
 
 def test_auto_resume(dataset_root, tmp_path, monkeypatch):
     from movenet_tpu.train.cli import main
