@@ -110,6 +110,24 @@ def _dfg_from_v(v, dgated, r: int):
     return gated, dfg
 
 
+def _ring_carry(dh, dfg_p, dfgp_ring, carry_ref, off, d: int,
+                tile: int):
+    """d-row anti-causal carry, staged through a VMEM scratch tile.
+
+    Bit-identical to ``dh + concat([dfg_p[d:], saved], axis=0)`` —
+    but that concat does NOT lower through Mosaic when ``dfg_p`` is a
+    lane-slice of a wider matmul result ("result/input offset mismatch
+    on non-concat dimension", v5e libtpu 2026-08: the slice carries a
+    lane offset the ring read doesn't).  Routing both pieces through
+    ``carry_ref`` lets the stores relayout each side for free.
+    """
+    saved = dfgp_ring[pl.ds(off, d), :]
+    carry_ref[pl.ds(0, tile - d), :] = dfg_p[d:]
+    carry_ref[pl.ds(tile - d, d), :] = saved
+    dfgp_ring[pl.ds(off, d), :] = dfg_p[:d]
+    return dh + carry_ref[:, :]
+
+
 def _split_ring_offsets(dilations, tile: int):
     """Ring offsets with the d<tile layers packed FIRST, so the prefix
     of the ring is exactly the per-tile boundary state ("tails") the
@@ -585,7 +603,8 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
         (dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
          db_out_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
          dfgp_ring, dwfg_acc, dwout_acc, dbout_acc, dbfg_acc,
-         dw1_acc, db1_acc, dw2_acc, db2_acc) = rest[len(big_layers):]
+         dw1_acc, db1_acc, dw2_acc, db2_acc,
+         carry_ref) = rest[len(big_layers):]
 
         b_idx = pl.program_id(0)
         rj = pl.program_id(1)
@@ -687,10 +706,8 @@ def _bwd_kernel_head(dilations, r, s, has_ctx, tile, n_tiles, n_batch,
                 dfgp_ring[pl.ds(slot, tile), :] = dfg_p
             else:
                 # d-row anti-causal carry (see _bwd_pallas)
-                saved = dfgp_ring[pl.ds(off, d), :]
-                future = jnp.concatenate([dfg_p[d:], saved], axis=0)
-                dh = dh + future
-                dfgp_ring[pl.ds(off, d), :] = dfg_p[:d]
+                dh = _ring_carry(dh, dfg_p, dfgp_ring, carry_ref,
+                                 off, d, tile)
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
 
@@ -808,6 +825,7 @@ def _bwd_pallas_head(hsave, tfsg, tails, ctx, w_fg, w_out, skip,
             pltpu.VMEM((1, c), jnp.float32),
             pltpu.VMEM((c, c), jnp.float32),
             pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((tile, r), jnp.float32),   # _ring_carry stage
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
@@ -986,7 +1004,7 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
                dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
                db_out_ref,
                hstack, dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
-               dbfg_acc):
+               dbfg_acc, carry_ref):
         b_idx = pl.program_id(0)
         rj = pl.program_id(1)
         ti = n_tiles - 1 - rj
@@ -1081,10 +1099,8 @@ def _bwd_kernel_tails(dilations, r: int, s: int, has_ctx: bool,
             dh = dh + dfg_w[:, :r]
             dfg_p = dfg_w[:, r: 2 * r]
             # d-row anti-causal carry (see _bwd_pallas)
-            saved = dfgp_ring[pl.ds(offs[l], d), :]
-            future = jnp.concatenate([dfg_p[d:], saved], axis=0)
-            dh = dh + future
-            dfgp_ring[pl.ds(offs[l], d), :] = dfg_p[:d]
+            dh = _ring_carry(dh, dfg_p, dfgp_ring, carry_ref,
+                             offs[l], d, tile)
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
 
@@ -1169,6 +1185,7 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
             pltpu.VMEM((n_layers, r + s), jnp.float32),
             pltpu.VMEM((n_layers, 2 * r), jnp.float32),
+            pltpu.VMEM((tile, r), jnp.float32),   # _ring_carry stage
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -1414,6 +1431,7 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
             pltpu.VMEM((n_layers, r, r + s), jnp.float32),
             pltpu.VMEM((n_layers, r + s), jnp.float32),
             pltpu.VMEM((n_layers, 2 * r), jnp.float32),
+            pltpu.VMEM((tile, r), jnp.float32),   # _ring_carry stage
         ] + proj_scratch + carry_scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
@@ -1477,7 +1495,7 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
         if not save_h:
             h_all, *rest = rest
         (dfgp_ring, dwfg_acc, dwout_acc, dbout_acc,
-         dbfg_acc, *carries) = rest
+         dbfg_acc, carry_ref, *carries) = rest
         if ctx_proj:
             dwup_acc, *carries = carries
         if chunked:
@@ -1627,10 +1645,8 @@ def _bwd_kernel_padded(dilations, r, s, has_ctx, tile, n_tiles,
                 # [0, d) cross to the previous-time tile and ride the
                 # d-row ring slot (same values the old full-tile
                 # roll+select exchanged, bit-identically)
-                saved = dfgp_ring[pl.ds(off, d), :]
-                future = jnp.concatenate([dfg_p[d:], saved], axis=0)
-                dh = dh + future
-                dfgp_ring[pl.ds(off, d), :] = dfg_p[:d]
+                dh = _ring_carry(dh, dfg_p, dfgp_ring, carry_ref,
+                                 off, d, tile)
             if has_ctx:
                 dctx_acc = dctx_acc + dfg_w[:, 2 * r:]
             return dh, dctx_acc
