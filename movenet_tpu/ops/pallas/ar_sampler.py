@@ -85,7 +85,13 @@ def _positional_gumbel(seed_i32, tt, batch: int, c_in: int):
     x = x ^ (x >> 15)
     x = x * jnp.uint32(0xD35A2D97)
     x = x ^ (x >> 15)
-    u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # top 24 bits -> [0,1): bitcast the shifted word to int32 (exact —
+    # the high 8 bits are zero) because Mosaic has no uint32->f32
+    # convert (NotImplementedError "Unsupported cast: uint32 ->
+    # float32", observed on-chip 2026-08-19, v5e libtpu); int32->f32
+    # lowers fine and is bit-identical here
+    u24 = jax.lax.bitcast_convert_type(x >> 8, jnp.int32)
+    u = u24.astype(jnp.float32) * (1.0 / (1 << 24))
     return -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
 
 
