@@ -25,6 +25,9 @@ import sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
+from movenet_tpu.utils.chiplock import chip_lock
+_lock = chip_lock("chip_return_sampler_probe", timeout_s=900)
+_lock.__enter__()  # held until process exit (kernel releases the fd)
 import jax, jax.numpy as jnp
 from movenet_tpu.config import ModelConfig
 from movenet_tpu.models.wavenet import make_wavenet

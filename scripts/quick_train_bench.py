@@ -28,6 +28,12 @@ def main():
     args = ap.parse_args()
     reps = args.reps
 
+    from movenet_tpu.utils.chiplock import chip_lock
+    with chip_lock("quick_train_bench", timeout_s=900):
+        _run(args, reps)
+
+
+def _run(args, reps):
     import jax
     import jax.numpy as jnp
 

@@ -27,6 +27,18 @@ for i in $(seq 1 "$TRIES"); do
 import sys
 import threading
 
+# Chip-lease lock (round-4 VERDICT item 2): if another LOCAL process
+# holds the chip (official bench, probe suite), the chip is in use and
+# therefore up — report UP without touching the tunnel.  flock releases
+# on holder death, so there is no stale state to special-case.
+from movenet_tpu.utils.chiplock import ChipLockTimeout, chip_lock
+try:
+    _lock = chip_lock("tpu_watch_probe", timeout_s=5)
+    _lock.__enter__()
+except ChipLockTimeout:
+    print("tpu_watch probe: lease held by another local process -> UP")
+    sys.exit(0)
+
 ok = {}
 
 def probe():
