@@ -1,44 +1,146 @@
 """Headline benchmark: autoregressive 16 kHz mu-law generation throughput.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Emission protocol (timeout-proof by construction — round-4 VERDICT
+item 1: BENCH_r04 was killed by the driver's timeout and recorded
+NOTHING because the old bench printed one JSON line only at the very
+end):
 
-value        = samples/sec/chip of the VMEM-resident Pallas sampler
-               kernel in short-critical-path mode (fast=True,
-               movenet_tpu.ops.pallas.ar_sampler) on the flagship
-               config (layer=10, stack=3, 256 channels, RF=3072 — the
-               reference's tested generation config,
-               tests/test_model.py:42-48).  The bit-exact kernel's rate
-               is "exact_kernel_samples_per_sec" (greedy agreement
-               between the two is also reported); the lax.scan
-               sampler's rate is "scan_sampler_samples_per_sec".
-vs_baseline  = speedup over the reference's PyTorch sampler
-               (wavenet.py:193-239: a Python loop running a full
-               RF-window forward per sample), measured at 20.9
-               samples/sec on this image's host CPU with the reference
-               model at the same flagship config (layer=10, stack=3,
-               256/64/64, RF=3072, torch 2.x, greedy) — see
-               BENCH_NOTES.md for the measurement protocol.
-               "vs_naive_same_chip" additionally reports the speedup
-               over the same naive ALGORITHM reimplemented in JAX and
-               timed on the same TPU chip (a much stronger baseline).
+* The record is built leg by leg.  After EVERY completed (or skipped)
+  leg the full merged record so far is printed as one JSON line AND
+  written to ``BENCH_partial.json``.  A consumer that takes the LAST
+  JSON line of stdout therefore always gets the most complete record,
+  even if the process is SIGKILLed mid-leg.
+* SIGTERM/SIGINT flush a final record annotated with
+  ``terminated_during`` before exiting.
+* Every leg has a wall-clock budget (SIGALRM, best-effort) and the run
+  has a global budget (``--budget``/``BENCH_BUDGET_S``, default 3300 s);
+  legs that don't fit are skipped and annotated, never silently lost.
+* Legs are ordered headline-first: host ingest (chip-independent, runs
+  even when the TPU is unreachable) -> preflight -> kernel-lowering
+  tripwire -> headline sampler -> train steps/MFU -> correctness checks
+  -> trained-model record -> exp03/exp04 matrix.
+* The TPU tunnel lease is taken via ``movenet_tpu.utils.chiplock``
+  (flock) so no recovery watcher/preview can put a second JAX process
+  on the tunnel mid-bench (the round-3/4 deadlock class).
+
+Fields:
+  value        = samples/sec/chip of the VMEM-resident Pallas sampler
+                 kernel in short-critical-path mode (fast=True,
+                 movenet_tpu.ops.pallas.ar_sampler) on the flagship
+                 config (layer=10, stack=3, 256 channels, RF=3072 — the
+                 reference's tested generation config,
+                 tests/test_model.py:42-48).  The bit-exact kernel's
+                 rate is "exact_kernel_samples_per_sec"; the lax.scan
+                 sampler's rate is "scan_sampler_samples_per_sec".
+  vs_baseline  = speedup over the reference's PyTorch sampler
+                 (wavenet.py:193-239: a Python loop running a full
+                 RF-window forward per sample), measured at 20.9
+                 samples/sec on this image's host CPU with the
+                 reference model at the same flagship config (layer=10,
+                 stack=3, 256/64/64, RF=3072, torch 2.x, greedy) — see
+                 BENCH_NOTES.md for the measurement protocol.
+                 "vs_naive_same_chip" additionally reports the speedup
+                 over the same naive ALGORITHM reimplemented in JAX and
+                 timed on the same TPU chip (a much stronger baseline).
 """
 
 # measured once against /root/reference's sampler on this host (see
 # module docstring); the reference publishes no numbers of its own
 REFERENCE_TORCH_SAMPLES_PER_SEC = 20.9
 
+import argparse
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
-
 
 # v5e peaks for the roofline/MFU report (public spec: 394 bf16
 # TFLOP/s, 819 GB/s HBM per chip)
 V5E_PEAK_TFLOPS = 394.0
 V5E_PEAK_HBM_GBS = 819.0
 
+SIDECAR = Path(__file__).resolve().with_name("BENCH_partial.json")
+
+RECORD = {
+    "metric": "ar_mulaw_generation_throughput",
+    "value": None,
+    "unit": "samples/sec/chip",
+    "vs_baseline": None,
+    "legs_completed": [],
+    "legs_skipped": {},
+}
+
+_CURRENT_LEG = None
+_DEADLINE = None
+_ENV_CACHE = {}
+
+
+class _LegTimeout(BaseException):
+    # BaseException so the in-leg ``except Exception`` guards (kernel
+    # probes, spec fallbacks) can never swallow a leg-budget expiry
+    pass
+
+
+def _emit():
+    line = json.dumps(RECORD)
+    print(line, flush=True)
+    try:
+        SIDECAR.write_text(line + "\n")
+    except OSError:
+        pass
+
+
+def _on_term(signum, frame):  # pragma: no cover - signal path
+    RECORD["terminated_during"] = _CURRENT_LEG or "between-legs"
+    _emit()
+    os._exit(0)
+
+
+def _on_alarm(signum, frame):  # pragma: no cover - signal path
+    raise _LegTimeout()
+
+
+def _leg(name, budget_s, fn, needs_chip=True):
+    """Run one leg under its wall-clock budget, then re-emit the merged
+    record.  Failures/timeouts are annotated, never fatal."""
+    global _CURRENT_LEG
+    remaining = _DEADLINE - time.monotonic()
+    if needs_chip and RECORD.get("chip_ok") is False:
+        RECORD["legs_skipped"][name] = "chip unreachable"
+        _emit()
+        return
+    if remaining < 30:
+        RECORD["legs_skipped"][name] = (
+            f"global budget exhausted ({remaining:.0f}s left)")
+        _emit()
+        return
+    budget = min(budget_s, remaining)
+    _CURRENT_LEG = name
+    t0 = time.monotonic()
+    signal.setitimer(signal.ITIMER_REAL, budget)
+    try:
+        fn()
+        RECORD["legs_completed"].append(
+            {"leg": name, "s": round(time.monotonic() - t0, 1)})
+    except _LegTimeout:
+        RECORD["legs_skipped"][name] = (
+            f"leg budget {budget:.0f}s exceeded "
+            f"(ran {time.monotonic() - t0:.0f}s)")
+    except Exception as e:  # pragma: no cover - surfaced in the record
+        RECORD["legs_skipped"][name] = (
+            f"{type(e).__name__}: {e}"[:300])
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        _CURRENT_LEG = None
+    _emit()
+
+
+# --------------------------------------------------------------- shared env
 
 def _mesh_train_env(model, cfg, batch, has_video=True):
     """1-device mesh + sharded batch + step factory: the ONE
@@ -98,6 +200,52 @@ def _breakdancing_setup():
     return model, cfg, state, batch
 
 
+def _flagship_env():
+    """Flagship sampler env (model/prompt/variables/n_total), shared by
+    the lowering tripwire and the headline leg so the tripwire's
+    compiles ARE the headline compiles (same executables by shape)."""
+    if "flagship" in _ENV_CACHE:
+        return _ENV_CACHE["flagship"]
+    import jax
+    import jax.numpy as jnp
+
+    from movenet_tpu.config import ModelConfig
+    from movenet_tpu.models.wavenet import make_wavenet
+
+    cfg = ModelConfig(
+        layer_size=10, stack_size=3, input_channels=256,
+        residual_channels=64, skip_channels=64,
+        compute_dtype="float32")
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields  # 3072
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 256, size=(1, rf)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), prompt)
+    env = dict(model=model, rf=rf, prompt=prompt, variables=variables,
+               n_gen=16_000, n_total=rf + 16_000)
+    _ENV_CACHE["flagship"] = env
+    return env
+
+
+def _timed(fn, reps=4):
+    """Amortized per-call wall time.
+
+    The tunneled PJRT backend here has a large fixed host<->device
+    round-trip (~30 ms) and its block_until_ready can return early,
+    so: force one full host transfer to warm/compile, then dispatch
+    ``reps`` executions back-to-back (they serialize on the device
+    queue) and transfer only the last result — one latency paid,
+    divided across reps.
+    """
+    np.asarray(fn())  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn()
+    np.asarray(out)
+    return (time.perf_counter() - t0) / reps
+
+
 def _train_step_model_flops(mc, b, t):
     """Analytic matmul FLOPs of one fused train step (trunk fwd + bwd,
     head fwd + bwd, embedding backward; video encoder and optimizer
@@ -124,22 +272,224 @@ def _train_step_model_flops(mc, b, t):
     return fwd + bwd + head + embed_bwd
 
 
-def _train_steps_per_sec():
-    """Secondary metric (BASELINE.md): train steps/sec on the
-    kinetics-breakdancing config (experiments/02: video-conditioned,
-    layer=3 stack=3, 64/64 channels, batch 2, full 160k-sample clips),
-    bf16 compute, single chip.  Returns (steps/s, scan8 steps/s,
-    mfu_pct, flops): the first number dispatches one step per call
-    (comparable across rounds; includes ~1 ms/call of tunnel dispatch),
-    the second runs 8 steps per call via lax.scan
-    (train.make_scan_train_step), the deployment pattern that
-    amortizes host dispatch.
+# ------------------------------------------------------------------- legs
 
-    Both steps run through make_parallel_train_step over a 1-device
+def _leg_host_ingest():
+    """Chip-independent input-pipeline throughput, measured FIRST so
+    even an unreachable-backend record carries numbers (round-4 VERDICT
+    item 6; the reference measured this with time.txt,
+    dataset.py:313-364).  Runs in a subprocess with JAX pinned to CPU
+    so it cannot touch (or block on) the TPU tunnel."""
+    ds = Path(os.environ.get("BENCH_INGEST_DS", "/tmp/bench_ingest_ds"))
+    script = (
+        "import os, json\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"root = {str(ds)!r}\n"
+        "from pathlib import Path\n"
+        "if not (Path(root) / 'train').exists():\n"
+        "    from movenet_tpu.data import make_synthetic_dataset\n"
+        "    make_synthetic_dataset(root, clips_per_category=4)\n"
+        "from movenet_tpu.data.bench_loader import main\n"
+        "main([root, '--num-workers', '4', '--batch-size', '4',\n"
+        "      '--use-video', '1', '--out', '/tmp/bench_ingest_time.txt'])\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=240, cwd=str(Path(__file__).resolve().parent))
+    stats = None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            stats = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    if stats is None:
+        raise RuntimeError(
+            f"ingest subprocess rc={proc.returncode}: "
+            f"{(proc.stderr or proc.stdout)[-300:]}")
+    from movenet_tpu.native.loader import pipeline_available
+    stats["native_pipeline"] = bool(pipeline_available())
+    RECORD["host_ingest"] = stats
+
+
+def _leg_preflight():
+    """Fail fast (with a reason) instead of hanging forever when the
+    TPU backend is unreachable — a wedged tunnel lease makes every JAX
+    op block pre-init indefinitely (observed 2026-08-17: multi-hour
+    outage after killed processes left the remote lease held)."""
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_PREFLIGHT_S", "600"))
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+            result["ok"] = True
+        except Exception as e:  # pragma: no cover - backend-specific
+            result["err"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if result.get("ok"):
+        RECORD["chip_ok"] = True
+        return
+    reason = result.get(
+        "err", f"device probe still blocked after {timeout_s:.0f}s "
+        "(wedged tunnel lease?)")
+    RECORD["chip_ok"] = False
+    RECORD["error"] = f"TPU backend unreachable: {reason}"
+    # durable pointers for a record that can't carry chip numbers: the
+    # last green official record and the off-chip evidence that IS
+    # reproducible without the chip
+    RECORD["last_green_record"] = "BENCH_r02.json"
+    RECORD["cpu_evidence"] = {
+        "tests": "python -m pytest tests/ -q (all pass, CPU)",
+        "spec_guesser": "scripts/exp_spec_guesser.py — interpret-mode "
+        "hit dynamics (RESULTS.md round-4 tables)",
+    }
+
+
+def _leg_kernels_lower_ok():
+    """Lowering-regression tripwire (round-4 VERDICT item 7): compile
+    one instance of each Pallas kernel family and report per-kernel
+    compile-ok.  The libtpu 2026-08 concat regression
+    (stack_kernel.py:113-128 _ring_carry) proved the backend moves
+    under the code.  Sampler probes use the flagship shapes so these
+    compiles ARE the headline/trained-leg executables (cache-shared);
+    train probes use the breakdancing step, strategy save + recompute
+    (the recompute path carries _ring_carry in both bwd kernels)."""
+    import dataclasses
+
+    import jax
+
+    out = {}
+
+    def probe(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+            out[name] = f"ok ({time.perf_counter() - t0:.0f}s)"
+        except Exception as e:
+            out[name] = f"FAIL {type(e).__name__}: {e}"[:200]
+        RECORD["kernels_lower_ok"] = dict(out)
+        _emit()
+
+    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
+
+    e = _flagship_env()
+
+    def gen(**kw):
+        o = pallas_generate(e["model"], e["variables"], e["prompt"],
+                            e["n_total"], **kw)
+        np.asarray(o[0] if isinstance(o, tuple) else o)
+
+    probe("sampler_exact", lambda: gen(temperature=0.0))
+    probe("sampler_fast", lambda: gen(temperature=0.0, fast=True))
+    probe("sampler_exact_T0.8", lambda: gen(temperature=0.8))
+    probe("sampler_spec_o3", lambda: gen(
+        temperature=0.0, speculative=True, return_stats=True))
+    probe("sampler_spec_o2", lambda: gen(
+        temperature=0.0, speculative=True, spec_order=2,
+        return_stats=True))
+    probe("sampler_spec_d2", lambda: gen(
+        temperature=0.0, speculative=True, spec_depth=2,
+        return_stats=True))
+    probe("sampler_fast_spec", lambda: gen(
+        temperature=0.0, speculative=True, fast=True,
+        return_stats=True))
+
+    from movenet_tpu.train import make_train_step
+
+    model, cfg, state, batch = _breakdancing_setup()
+
+    def train(strategy):
+        c = dataclasses.replace(cfg, fused_strategy=strategy)
+        s, m = jax.jit(make_train_step(model, c))(state, batch)
+        np.asarray(m["loss"])
+
+    probe("train_fused_save", lambda: train("save"))
+    probe("train_fused_recompute", lambda: train("recompute"))
+    RECORD["kernels_lower_ok"] = out
+
+
+def _leg_headline():
+    """The headline sampler rates on the flagship config.  The fast
+    rate (and value/vs_baseline) is emitted the moment it exists."""
+    import jax.numpy as jnp
+
+    from movenet_tpu.models.sampler import fast_generate, naive_generate
+    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
+
+    e = _flagship_env()
+    model, variables, prompt = e["model"], e["variables"], e["prompt"]
+    n_gen, n_total, rf = e["n_gen"], e["n_total"], e["rf"]
+
+    # short-critical-path mode (headline): precomputed weight products
+    # leave one dependent matmul per layer, single-pass MXU precision,
+    # and packed-tanh gating (ar_sampler.py docstring).  fast-vs-exact
+    # fidelity is asserted on a TRAINED model in the trained leg —
+    # long-horizon greedy agreement on random weights measures
+    # tie-break chaos, not correctness.
+    dt_fast = _timed(lambda: pallas_generate(
+        model, variables, prompt, n_total, temperature=0.0, fast=True))
+    fast_rate = n_gen / dt_fast
+    RECORD["value"] = round(fast_rate, 2)
+    RECORD["vs_baseline"] = round(
+        fast_rate / REFERENCE_TORCH_SAMPLES_PER_SEC, 2)
+    RECORD["sampler_us_per_step_b1"] = round(1e6 / fast_rate, 3)
+    _emit()
+
+    dt_pallas = _timed(lambda: pallas_generate(
+        model, variables, prompt, n_total, temperature=0.0))
+    RECORD["exact_kernel_samples_per_sec"] = round(n_gen / dt_pallas, 2)
+    _emit()
+
+    # batched kernel: aggregate chip throughput (fast mode, like the
+    # generate CLI default)
+    for b, seed in ((8, 1), (16, 2)):
+        pb = jnp.asarray(
+            np.random.default_rng(seed).integers(0, 256, size=(b, rf)),
+            jnp.int32)
+        dt_b = _timed(lambda: pallas_generate(
+            model, variables, pb, n_total, temperature=0.0, fast=True))
+        RECORD[f"batched{b}_agg_samples_per_sec"] = round(
+            b * n_gen / dt_b, 2)
+        _emit()
+
+    # lax.scan cached sampler (general path: any batch, video)
+    dt_scan = _timed(lambda: fast_generate(
+        model, variables, prompt, n_total, temperature=0.0))
+    RECORD["scan_sampler_samples_per_sec"] = round(n_gen / dt_scan, 2)
+    _emit()
+
+    # reference algorithm on the same chip
+    n_base = 256
+    dt_naive = _timed(lambda: naive_generate(
+        model, variables, prompt, rf + n_base, temperature=0.0))
+    naive_rate = n_base / dt_naive
+    RECORD["naive_same_chip_samples_per_sec"] = round(naive_rate, 2)
+    RECORD["vs_naive_same_chip"] = round(fast_rate / naive_rate, 2)
+
+
+def _leg_train():
+    """Train steps/sec + MFU on the kinetics-breakdancing config
+    (experiments/02: video-conditioned, layer=3 stack=3, 64/64
+    channels, batch 2, full 160k-sample clips), bf16, single chip.
+    ``train_steps_per_sec_breakdancing`` dispatches one step per call
+    (comparable across rounds; includes ~1 ms/call of tunnel dispatch);
+    ``train_steps_per_sec_scan8`` runs 8 steps per call via lax.scan,
+    the deployment pattern that amortizes host dispatch.
+
+    Both run through make_parallel_train_step over a 1-device
     (data=1, seq=1) mesh — the shard_map-wrapping-Mosaic composition
-    that experiments/03 ships — so every official record exercises the
-    exact deployed lowering (round-3 VERDICT item 3), not a mesh-free
-    jit."""
+    that experiments/03 ships (round-3 VERDICT item 3)."""
     import jax
     import jax.numpy as jnp
 
@@ -156,7 +506,13 @@ def _train_steps_per_sec():
         np.asarray(m["loss"])
         dt = (time.perf_counter() - t0) / reps
         flops = _train_step_model_flops(cfg.model_config, 2, 160_000)
-        mfu = flops / dt / (V5E_PEAK_TFLOPS * 1e12) * 100
+        RECORD["train_steps_per_sec_breakdancing"] = round(1.0 / dt, 3)
+        RECORD["train_mfu_pct"] = round(
+            flops / dt / (V5E_PEAK_TFLOPS * 1e12) * 100, 2)
+        RECORD["train_model_gflops_per_step"] = round(flops / 1e9, 1)
+        RECORD["roofline_peaks"] = {"bf16_tflops": V5E_PEAK_TFLOPS,
+                                    "hbm_gbs": V5E_PEAK_HBM_GBS}
+        _emit()
 
         # scan-of-8: one dispatch per 8 optimizer steps
         n_scan = 8
@@ -171,20 +527,130 @@ def _train_steps_per_sec():
             state, m = scan_step(state, batches8)
         np.asarray(m["loss"])
         dt8 = (time.perf_counter() - t0) / (reps // 4) / n_scan
-    return 1.0 / dt, 1.0 / dt8, mfu, flops
+        RECORD["train_steps_per_sec_scan8"] = round(1.0 / dt8, 3)
 
 
-def _trained_model_record():
+def _leg_checks():
+    """On-TPU correctness gate (VERDICT round-1 item 4): the Pallas
+    sampler must produce bit-identical greedy output to the lax.scan
+    sampler on real Mosaic lowering (interpret-mode tests don't
+    exercise that), and the fused training pipeline must match XLA's
+    loss / grad-norm / accuracy."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from movenet_tpu.config import ModelConfig
+    from movenet_tpu.models.sampler import fast_generate
+    from movenet_tpu.models.wavenet import WaveNet, make_wavenet
+    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
+
+    results = RECORD.setdefault("check", {})
+    ok = True
+
+    cfg = ModelConfig(
+        layer_size=10, stack_size=2, input_channels=256,
+        residual_channels=64, skip_channels=64, compute_dtype="float32",
+        max_audio_frames=4000, max_video_frames=4)
+    model = make_wavenet(cfg)
+    rf = model.receptive_fields
+    rng = np.random.default_rng(7)
+    n_total = rf + 512
+    for b, with_video in ((1, False), (8, False), (1, True)):
+        prompt = jnp.asarray(rng.integers(0, 256, size=(b, rf)),
+                             jnp.int32)
+        video = None
+        if with_video:
+            video = jnp.asarray(
+                rng.standard_normal((b, 4, 64, 64, 1)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               prompt, video, method=WaveNet.init_all)
+        got = np.asarray(pallas_generate(
+            model, variables, prompt, n_total, temperature=0.0,
+            video=video))
+        want = np.asarray(fast_generate(
+            model, variables, prompt, n_total, temperature=0.0,
+            video=video))
+        key = f"sampler_b{b}{'_video' if with_video else ''}"
+        match = bool((got == want).all())
+        results[key] = "bit-equal" if match else (
+            f"MISMATCH {(got != want).mean():.4f}")
+        ok = ok and match
+        _emit()
+
+    # fused training pipeline vs XLA (bf16: tolerance, not bit-equal);
+    # both legs run under the 1-device mesh so the fused leg exercises
+    # shard_map wrapping real Mosaic custom calls (round-3 VERDICT
+    # item 3 — the composition experiments/03 ships)
+    model, cfg, state0, batch = _breakdancing_setup()
+    vals = {}
+    mesh, batch, make_step = _mesh_train_env(model, cfg, batch)
+    with mesh:
+        for fused in (False, True):
+            c = dataclasses.replace(cfg, fused_blocks=fused)
+            step = make_step(c=c)
+            state = state0
+            for _ in range(3):
+                state, m = step(state, batch)
+            vals[fused] = {k: float(m[k])
+                           for k in ("loss", "grad_norm", "accuracy")}
+    deltas = {k: abs(vals[True][k] - vals[False][k])
+              for k in vals[True]}
+    train_ok = all(d < 2e-3 for d in deltas.values())
+    results["fused_train_vs_xla"] = {
+        "deltas": {k: round(v, 8) for k, v in deltas.items()},
+        "ok": train_ok}
+    ok = ok and train_ok
+    results["passed"] = bool(ok and results.get(
+        "trained_model", {}).get("ok", True))
+
+
+# trained-fixture cache: train the flagship sine overfit ONCE, then
+# load it (round-4 VERDICT item 1c — retraining 600 on-chip steps every
+# official run was a large share of the zeroed-bench cost)
+_FIXTURE_SIG = "flagship_l10s3_c256_r64s64_adam3e-3_steps600_v1"
+_FIXTURE_PATH = Path(os.environ.get(
+    "MOVENET_BENCH_FIXTURE",
+    f"/tmp/movenet_bench_fixture_{_FIXTURE_SIG}.npz"))
+
+
+def _flatten_params(params):
+    import jax
+
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(template, npz):
+    import jax
+    import jax.numpy as jnp
+
+    pairs, treedef = jax.tree_util.tree_flatten_with_path(template)
+    vals = []
+    for path, leaf in pairs:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        arr = npz[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(f"fixture shape mismatch at {key}")
+        vals.append(jnp.asarray(arr, leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, vals)
+
+
+def _leg_trained():
     """Round-3 VERDICT item 4: train the flagship config on the sine
-    fixture ON-CHIP, then (a) assert the exact Pallas kernel is
-    bit-equal to the lax.scan sampler on the TRAINED model, (b) pin the
-    fast mode's trained-model fidelity (continuation MAE vs the true
-    sine must match the exact kernel's), and (c) report B=1 fast-mode
-    throughput measured on the trained parameters.  Replaces the old
-    sharpened-head random-weights agreement number, which measured
-    tie-break chaos rather than correctness (reference behavioral test:
-    tests/test_model.py:41-112, the sine overfit + greedy generation).
-    """
+    fixture ON-CHIP (cached across runs), then (a) assert the exact
+    Pallas kernel is bit-equal to the lax.scan sampler on the TRAINED
+    model, (b) pin the fast mode's trained-model fidelity (continuation
+    MAE vs the true sine must match the exact kernel's), (c) report
+    trained-model throughput for fast/exact/speculative variants.
+    Reference behavioral test: tests/test_model.py:41-112 (the sine
+    overfit + greedy generation)."""
     import jax
     import jax.numpy as jnp
 
@@ -215,19 +681,48 @@ def _trained_model_record():
     tx = make_optimizer(cfg)
     state = create_train_state(model, cfg, tx, jax.random.PRNGKey(0),
                                batch)
-    step = jax.jit(make_train_step(model, cfg))
-    for _ in range(600):   # unsynced: dispatches pipeline on-device
-        state, m = step(state, batch)
-    acc = float(m["accuracy"])
-    variables = {"params": state.params}
+
+    params, acc, fixture_src = None, None, "trained"
+    if _FIXTURE_PATH.exists():
+        try:
+            npz = np.load(_FIXTURE_PATH, allow_pickle=False)
+            if str(npz["_signature"]) == _FIXTURE_SIG:
+                params = _unflatten_params(state.params, npz)
+                acc = float(npz["train_acc"])
+                fixture_src = "cached"
+        except Exception:
+            params, acc = None, None
+    if params is None:
+        step = jax.jit(make_train_step(model, cfg))
+        for chunk in range(6):     # 600 steps, synced per 100 so the
+            for _ in range(100):   # leg budget can actually fire
+                state, m = step(state, batch)
+            np.asarray(m["loss"])
+        acc = float(m["accuracy"])
+        params = state.params
+        flat = _flatten_params(params)
+        flat["_signature"] = np.asarray(_FIXTURE_SIG)
+        flat["train_acc"] = np.asarray(acc)
+        try:
+            np.savez(_FIXTURE_PATH, **flat)
+        except OSError:
+            pass
+    variables = {"params": params}
+
+    check = RECORD.setdefault("check", {}).setdefault(
+        "trained_model", {})
+    check["train_acc"] = round(acc, 3)
+    check["fixture"] = fixture_src
+    _emit()
 
     prompt = jnp.asarray(codes_np[None, :rf], jnp.int32)
     # same n_total as the headline measurements: the pallas kernels are
     # jitted per (model, n_samples), so every sampler here reuses the
-    # executable main() already compiled (~50 s per fresh kernel via
-    # the remote-compile relay)
+    # executables the lowering tripwire / headline leg compiled (~50 s
+    # per fresh kernel via the remote-compile relay)
     n_cont = 512           # MAE window: the true sine is 4000 samples
-    n_tot = rf + 16_000
+    n_gen = 16_000
+    n_tot = rf + n_gen
     scan_o = np.asarray(fast_generate(model, variables, prompt, n_tot,
                                       temperature=0.0))
     exact_o = np.asarray(pallas_generate(model, variables, prompt,
@@ -246,8 +741,7 @@ def _trained_model_record():
     bit = bool((exact_o == scan_o).all())
     fast_bit = bool((fast_o == exact_o).all())
     delta = abs(mae_fast - mae_exact)
-    check = {
-        "train_acc": round(acc, 3),
+    check.update({
         "exact_vs_scan_trained": "bit-equal" if bit else "MISMATCH",
         "fast_trained_greedy": "bit-equal" if fast_bit
         else f"mae_delta={delta:.4f}",
@@ -260,15 +754,13 @@ def _trained_model_record():
         # continuations give ~0.5+, a trained one ~0.05-0.15)
         "ok": bool(bit and mae_exact < 0.2
                    and (fast_bit or delta < 0.02)),
-    }
-
-    # trained-model B=1 throughput, fast mode (headline-comparable)
-    n_gen = 16_000
+    })
+    _emit()
 
     def timed_rate(**kw):
         def run():
             out = pallas_generate(model, variables, prompt,
-                                  rf + n_gen, temperature=0.0, **kw)
+                                  n_tot, temperature=0.0, **kw)
             return out[0] if isinstance(out, tuple) else out
         np.asarray(run())
         t0 = time.perf_counter()
@@ -279,23 +771,27 @@ def _trained_model_record():
         return n_gen / ((time.perf_counter() - t0) / 4)
 
     rate = timed_rate(fast=True)
-    # speculative-wavefront EXACT sampler (round-3 VERDICT item 3):
-    # bit-equal to the exact kernel by construction; its win exists
-    # only on trained models (hit-rate-dependent), so this is where
-    # it is measured.  Order fallback: the 3-gram pair table (round-4
-    # default) carries newer Mosaic lowerings than the 2-gram; if it
-    # fails to compile/run on this backend, fall back to order 2 so
-    # the record still carries speculative evidence (and says which
-    # order produced it) rather than going red on the richer guesser.
+    RECORD["trained_model_samples_per_sec"] = round(rate, 2)
     try:
         check["exact_samples_per_sec_trained"] = round(timed_rate(), 2)
     except Exception as e:  # pragma: no cover - surface it
         check["exact_samples_per_sec_trained"] = \
             f"ERROR {type(e).__name__}"
+    _emit()
+
+    # speculative-wavefront EXACT sampler (round-3 VERDICT item 3):
+    # bit-equal to the exact kernel by construction; its win exists
+    # only on trained models (hit-rate-dependent), so this is where it
+    # is measured.  Order fallback: if the 3-gram pair table fails to
+    # compile/run on this backend, fall back to order 2 so the record
+    # still carries speculative evidence (and says which order produced
+    # it) rather than going red on the richer guesser.
     spec_fields = ("spec_order_used", "spec_vs_exact_trained",
-                   "spec_hit_rate_trained", "spec_fast_vs_fast_trained",
+                   "spec_commit_ratio_trained",
+                   "spec_fast_vs_fast_trained",
                    "spec_exact_samples_per_sec",
                    "spec_fast_samples_per_sec")
+    g_tot = n_tot - rf
     for spec_order in (3, 2):
         for f in spec_fields:   # drop any partial prior-order fields
             check.pop(f, None)
@@ -308,12 +804,13 @@ def _trained_model_record():
             check["spec_order_used"] = spec_order
             check["spec_vs_exact_trained"] = "bit-equal" \
                 if bool((spec_o == exact_o).all()) else "MISMATCH"
-            # committed pairs h over g generated samples: h/(g-h) is
-            # the per-iteration hit rate of the adaptive guesser
-            g_tot = n_tot - rf
+            # committed-extra-samples h over g generated samples:
+            # h/g is the fraction of output that rode a committed
+            # guess — bounded [0, depth/(depth+1)), never > 1
+            # (round-4 VERDICT weak #4: the old h/(g-h) "rate"
+            # exceeded 1 for depth 2)
             h = float(spec_hits)
-            check["spec_hit_rate_trained"] = round(
-                h / max(1.0, g_tot - h), 4)
+            check["spec_commit_ratio_trained"] = round(h / g_tot, 4)
             # spec+fast is serve.py's default B=1 greedy path: gate it
             # against the non-spec fast kernel (speculation must be a
             # pure latency transform for BOTH kernel variants)
@@ -331,8 +828,6 @@ def _trained_model_record():
                                == "bit-equal")
             # return_stats=True on the timed calls reuses the
             # executables compiled for the bit-equality checks above
-            # (one fresh kernel costs ~50s via the remote-compile
-            # relay)
             check["spec_exact_samples_per_sec"] = round(
                 timed_rate(speculative=True, spec_order=spec_order,
                            return_stats=True), 2)
@@ -347,10 +842,28 @@ def _trained_model_record():
                 continue
             check["spec_vs_exact_trained"] = f"ERROR {type(e).__name__}"
             check["ok"] = False
-    return check, rate
+    # depth-2 on the trained model (promotion decision data — the
+    # offline simulator forecast o3d2 ~2.38x the exact kernel's rate)
+    try:
+        d2_j, d2_hits = pallas_generate(
+            model, variables, prompt, n_tot, temperature=0.0,
+            speculative=True, spec_depth=2, return_stats=True)
+        d2_o = np.asarray(d2_j)
+        check["spec_d2_vs_exact_trained"] = "bit-equal" \
+            if bool((d2_o == exact_o).all()) else "MISMATCH"
+        check["spec_d2_commit_ratio_trained"] = round(
+            float(d2_hits) / g_tot, 4)
+        check["spec_d2_samples_per_sec"] = round(
+            timed_rate(speculative=True, spec_depth=2,
+                       return_stats=True), 2)
+    except Exception as e:  # pragma: no cover - surface it
+        check["spec_d2_vs_exact_trained"] = f"ERROR {type(e).__name__}"
+    if RECORD.get("check", {}).get("passed") is not None:
+        RECORD["check"]["passed"] = bool(
+            RECORD["check"]["passed"] and check["ok"])
 
 
-def _workload_matrix():
+def _leg_matrix():
     """Round-3 VERDICT item 5: current-round single-chip numbers for
     the reference's experiment 03 shape (accumulation 10, input_ch 128,
     reference experiments/03_kinetics_scale_up.mk:44-66) and experiment
@@ -365,12 +878,10 @@ def _workload_matrix():
         TrainingConfig
     from movenet_tpu.models.wavenet import make_wavenet
     from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
-    from movenet_tpu.train import create_train_state, make_optimizer, \
-        make_train_step
+    from movenet_tpu.train import create_train_state, make_optimizer
     from movenet_tpu.train.loop import Batch
 
     rng = np.random.default_rng(0)
-    out = {}
 
     def steps_per_sec(mc, batch_size, accum=1, reps=4):
         cfg = TrainingConfig(model_config=mc, optimizer="AdamW",
@@ -409,15 +920,17 @@ def _workload_matrix():
                       residual_channels=32, skip_channels=8,
                       compute_dtype="bfloat16")
     opt3 = steps_per_sec(mc3, 3, accum=10, reps=2)
-    out["exp03_opt_steps_per_sec"] = round(opt3, 3)
-    out["exp03_microbatch_steps_per_sec"] = round(opt3 * 10, 2)
+    RECORD["exp03_opt_steps_per_sec"] = round(opt3, 3)
+    RECORD["exp03_microbatch_steps_per_sec"] = round(opt3 * 10, 2)
+    _emit()
 
     # exp04: RF=16384 (layer=14 stack=1, 128/16/8), remat as shipped
     mc4 = ModelConfig(layer_size=14, stack_size=1, input_channels=128,
                       residual_channels=16, skip_channels=8,
                       compute_dtype="bfloat16", remat=True)
-    out["exp04_train_steps_per_sec"] = round(
+    RECORD["exp04_train_steps_per_sec"] = round(
         steps_per_sec(mc4, 2, reps=4), 2)
+    _emit()
 
     # exp04 generation: 20000 samples (the .mk's generate_n_samples)
     model4 = make_wavenet(dataclasses.replace(
@@ -437,279 +950,76 @@ def _workload_matrix():
     for _ in range(4):
         o = gen()
     np.asarray(o)
-    out["exp04_generation_samples_per_sec"] = round(
+    RECORD["exp04_generation_samples_per_sec"] = round(
         n_gen / ((time.perf_counter() - t0) / 4), 2)
-    return out
-
-
-def _check_on_hardware():
-    """On-TPU correctness gate (VERDICT round-1 item 4): the Pallas
-    sampler must produce bit-identical greedy output to the lax.scan
-    sampler on real Mosaic lowering (interpret-mode tests don't exercise
-    that), and the fused training pipeline must match XLA's loss /
-    grad-norm / accuracy.  Returns a dict that lands in the bench JSON.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from movenet_tpu.config import ModelConfig
-    from movenet_tpu.models.sampler import fast_generate
-    from movenet_tpu.models.wavenet import WaveNet, make_wavenet
-    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
-
-    results = {}
-    ok = True
-
-    cfg = ModelConfig(
-        layer_size=10, stack_size=2, input_channels=256,
-        residual_channels=64, skip_channels=64, compute_dtype="float32",
-        max_audio_frames=4000, max_video_frames=4)
-    model = make_wavenet(cfg)
-    rf = model.receptive_fields
-    rng = np.random.default_rng(7)
-    n_total = rf + 512
-    for b, with_video in ((1, False), (8, False), (1, True)):
-        prompt = jnp.asarray(rng.integers(0, 256, size=(b, rf)),
-                             jnp.int32)
-        video = None
-        if with_video:
-            video = jnp.asarray(
-                rng.standard_normal((b, 4, 64, 64, 1)), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(0),
-                               prompt, video, method=WaveNet.init_all)
-        got = np.asarray(pallas_generate(
-            model, variables, prompt, n_total, temperature=0.0,
-            video=video))
-        want = np.asarray(fast_generate(
-            model, variables, prompt, n_total, temperature=0.0,
-            video=video))
-        key = f"sampler_b{b}{'_video' if with_video else ''}"
-        match = bool((got == want).all())
-        results[key] = "bit-equal" if match else (
-            f"MISMATCH {(got != want).mean():.4f}")
-        ok = ok and match
-
-    # fused training pipeline vs XLA (bf16: tolerance, not bit-equal);
-    # both legs run under the 1-device mesh so the fused leg exercises
-    # shard_map wrapping real Mosaic custom calls (round-3 VERDICT
-    # item 3 — the composition experiments/03 ships)
-    model, cfg, state0, batch = _breakdancing_setup()
-    import dataclasses
-    vals = {}
-    mesh, batch, make_step = _mesh_train_env(model, cfg, batch)
-    with mesh:
-        for fused in (False, True):
-            c = dataclasses.replace(cfg, fused_blocks=fused)
-            step = make_step(c=c)
-            state = state0
-            for _ in range(3):
-                state, m = step(state, batch)
-            vals[fused] = {k: float(m[k])
-                           for k in ("loss", "grad_norm", "accuracy")}
-    deltas = {k: abs(vals[True][k] - vals[False][k])
-              for k in vals[True]}
-    train_ok = all(d < 2e-3 for d in deltas.values())
-    results["fused_train_vs_xla"] = {
-        "deltas": {k: round(v, 8) for k, v in deltas.items()},
-        "ok": train_ok}
-    ok = ok and train_ok
-    results["passed"] = ok
-    return results
-
-
-def _preflight(timeout_s: float = 900.0):
-    """Fail fast (with a reason) instead of hanging forever when the
-    TPU backend is unreachable — a wedged tunnel lease makes every JAX
-    op block pre-init indefinitely (observed 2026-08-17: multi-hour
-    outage after killed processes left the remote lease held)."""
-    import threading
-
-    result = {}
-
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
-            result["ok"] = True
-        except Exception as e:  # pragma: no cover - backend-specific
-            result["err"] = repr(e)
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if result.get("ok"):
-        return
-    reason = result.get(
-        "err", f"device probe still blocked after {timeout_s:.0f}s "
-        "(wedged tunnel lease?)")
-    print(json.dumps({
-        "metric": "ar_mulaw_generation_throughput",
-        "value": None,
-        "unit": "samples/sec/chip",
-        "vs_baseline": None,
-        "error": f"TPU backend unreachable: {reason}",
-        # durable pointers for a record that can't carry numbers: the
-        # last green official record and the off-chip evidence that IS
-        # reproducible without the chip (deterministic in-kernel hit
-        # counters; the full CPU suite)
-        "last_green_record": "BENCH_r02.json",
-        "cpu_evidence": {
-            "tests": "python -m pytest tests/ -q (all pass, CPU)",
-            "spec_guesser": "scripts/exp_spec_guesser.py — "
-            "interpret-mode hit rates (RESULTS.md round-4 tables)",
-            "recovery": "scripts/recovery_pipeline.sh polls and "
-            "auto-runs chip_return.sh + bench on chip return",
-        },
-    }))
-    raise SystemExit(1)
 
 
 def main():
-    _preflight()
-    import jax
-    import jax.numpy as jnp
-
-    try:  # persistent compile cache (best effort under remote compile)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    except Exception:
-        pass
-
-    from movenet_tpu.config import ModelConfig
-    from movenet_tpu.models.sampler import fast_generate, naive_generate
-    from movenet_tpu.models.wavenet import make_wavenet
-    from movenet_tpu.ops.pallas.ar_sampler import pallas_generate
-
-    cfg = ModelConfig(
-        layer_size=10, stack_size=3, input_channels=256,
-        residual_channels=64, skip_channels=64,
-        compute_dtype="float32")
-    model = make_wavenet(cfg)
-    rf = model.receptive_fields  # 3072
-
-    rng = np.random.default_rng(0)
-    prompt = jnp.asarray(rng.integers(0, 256, size=(1, rf)), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), prompt[:, : rf + 0])
-
-    def timed(fn, reps=4):
-        """Amortized per-call wall time.
-
-        The tunneled PJRT backend here has a large fixed host<->device
-        round-trip (~30 ms) and its block_until_ready can return early,
-        so: force one full host transfer to warm/compile, then dispatch
-        ``reps`` executions back-to-back (they serialize on the device
-        queue) and transfer only the last result — one latency paid,
-        divided across reps.
-        """
-        np.asarray(fn())  # compile + warm
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(reps):
-            out = fn()
-        np.asarray(out)
-        return (time.perf_counter() - t0) / reps
-
-    # --- Pallas VMEM-resident kernel --------------------------------------
-    n_gen = 16_000  # one second of 16 kHz audio beyond the prompt
-    n_total = rf + n_gen
-    dt_pallas = timed(lambda: pallas_generate(
-        model, variables, prompt, n_total, temperature=0.0))
-    exact_rate = n_gen / dt_pallas
-
-    # short-critical-path mode (headline): precomputed weight products
-    # leave one dependent matmul per layer, single-pass MXU precision,
-    # and packed-tanh gating (ar_sampler.py docstring) — fp-shifted, so
-    # greedy agreement with the exact kernel is verified on a
-    # SHARPENED-head model (x10 head2): an untrained random-weight
-    # model at temperature 0 has near-uniform logits whose argmax flips
-    # under any fp change and then diverges chaotically, which measures
-    # tie-breaking, not correctness (tests/test_pallas_sampler.py uses
-    # the same construction)
-    dt_fast = timed(lambda: pallas_generate(
-        model, variables, prompt, n_total, temperature=0.0, fast=True))
-    fast_rate = n_gen / dt_fast
-    # fast-vs-exact fidelity is asserted on a TRAINED model inside the
-    # check (_trained_model_record) — long-horizon greedy agreement on
-    # random weights measures tie-break chaos, not correctness
-
-    # --- batched kernel: aggregate chip throughput at B=8 (fast mode,
-    # like the generate CLI default) ----------------------------------------
-    prompt8 = jnp.asarray(
-        np.random.default_rng(1).integers(0, 256, size=(8, rf)),
-        jnp.int32)
-    dt_b8 = timed(lambda: pallas_generate(
-        model, variables, prompt8, n_total, temperature=0.0, fast=True))
-    b8_rate = 8 * n_gen / dt_b8
-
-    # --- batched kernel at B=16 ---------------------------------------------
-    prompt16 = jnp.asarray(
-        np.random.default_rng(2).integers(0, 256, size=(16, rf)),
-        jnp.int32)
-    dt_b16 = timed(lambda: pallas_generate(
-        model, variables, prompt16, n_total, temperature=0.0,
-        fast=True))
-    b16_rate = 16 * n_gen / dt_b16
-
-    # --- lax.scan cached sampler (general path: any batch, video) ----------
-    dt_scan = timed(lambda: fast_generate(
-        model, variables, prompt, n_total, temperature=0.0))
-    scan_rate = n_gen / dt_scan
-
-    # --- reference algorithm on the same chip -----------------------------
-    n_base = 256
-    dt_naive = timed(lambda: naive_generate(
-        model, variables, prompt, rf + n_base, temperature=0.0))
-    naive_rate = n_base / dt_naive
-
-    import argparse
+    global _DEADLINE
 
     p = argparse.ArgumentParser()
     p.add_argument("--skip-check", action="store_true",
                    help="skip the on-hardware correctness gate")
     p.add_argument("--skip-matrix", action="store_true",
                    help="skip the exp03/exp04 workload matrix")
+    p.add_argument("--skip-ingest", action="store_true",
+                   help="skip the host ingest leg")
+    p.add_argument("--budget", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S",
+                                                "3300")),
+                   help="global wall-clock budget in seconds")
     args, _ = p.parse_known_args()
 
-    steps_per_sec, steps_per_sec_scan8, mfu, train_flops = \
-        _train_steps_per_sec()
-    if args.skip_check:
-        check, trained_rate = {"skipped": True}, 0.0
-    else:
-        check = _check_on_hardware()
-        trained_check, trained_rate = _trained_model_record()
-        check["trained_model"] = trained_check
-        check["passed"] = bool(check.get("passed")
-                               and trained_check["ok"])
-    matrix = {} if args.skip_matrix else _workload_matrix()
+    _DEADLINE = time.monotonic() + args.budget
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    signal.signal(signal.SIGALRM, _on_alarm)
 
-    # sampler per-step latency + its dependent-matvec critical path
-    # (30 layers x 2 matmuls + head, all serialized on one sample)
-    us_per_step = 1e6 / fast_rate
+    # persistent compile cache (best effort under remote compile) —
+    # set BEFORE any compile so warm runs reuse prior executables
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        import jax
 
-    print(json.dumps({
-        "metric": "ar_mulaw_generation_throughput",
-        "value": round(fast_rate, 2),
-        "unit": "samples/sec/chip",
-        "vs_baseline": round(
-            fast_rate / REFERENCE_TORCH_SAMPLES_PER_SEC, 2),
-        "vs_naive_same_chip": round(fast_rate / naive_rate, 2),
-        "naive_same_chip_samples_per_sec": round(naive_rate, 2),
-        "exact_kernel_samples_per_sec": round(exact_rate, 2),
-        "trained_model_samples_per_sec": round(trained_rate, 2),
-        "scan_sampler_samples_per_sec": round(scan_rate, 2),
-        "batched8_agg_samples_per_sec": round(b8_rate, 2),
-        "batched16_agg_samples_per_sec": round(b16_rate, 2),
-        "sampler_us_per_step_b1": round(us_per_step, 3),
-        "train_steps_per_sec_breakdancing": round(steps_per_sec, 3),
-        "train_steps_per_sec_scan8": round(steps_per_sec_scan8, 3),
-        "train_mfu_pct": round(mfu, 2),
-        "train_model_gflops_per_step": round(train_flops / 1e9, 1),
-        "roofline_peaks": {"bf16_tflops": V5E_PEAK_TFLOPS,
-                           "hbm_gbs": V5E_PEAK_HBM_GBS},
-        **matrix,
-        "check": check,
-    }))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    if not args.skip_ingest:
+        _leg("host_ingest", 250, _leg_host_ingest, needs_chip=False)
+
+    # exclusive chip lease: nothing else may touch the tunnel while the
+    # official bench runs (round-4 VERDICT item 2)
+    from movenet_tpu.utils.chiplock import ChipLockTimeout, chip_lock
+
+    lock = chip_lock("bench", timeout_s=min(
+        600.0, max(60.0, _DEADLINE - time.monotonic() - 300)))
+    try:
+        lock.__enter__()
+    except ChipLockTimeout as e:
+        RECORD["chip_ok"] = False
+        RECORD["error"] = f"chip lease unavailable: {e}"
+        _emit()
+
+    if RECORD.get("chip_ok") is not False:
+        _leg("preflight", float(os.environ.get("BENCH_PREFLIGHT_S",
+                                               "600")) + 30,
+             _leg_preflight, needs_chip=False)
+    _leg("kernels_lower_ok", 900, _leg_kernels_lower_ok)
+    _leg("headline_sampler", 900, _leg_headline)
+    _leg("train_steps", 500, _leg_train)
+    if not args.skip_check:
+        _leg("checks", 700, _leg_checks)
+        _leg("trained_model", 900, _leg_trained)
+    if not args.skip_matrix:
+        _leg("workload_matrix", 700, _leg_matrix)
+
+    RECORD["complete"] = not RECORD["legs_skipped"]
+    _emit()
+    lock.__exit__(None, None, None)
+    if RECORD.get("chip_ok") is False:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
