@@ -5,6 +5,7 @@ sampler (prefer_pallas=False)."""
 import base64
 import json
 import threading
+import time
 import wave
 import io
 from pathlib import Path
@@ -119,12 +120,13 @@ def test_wav_format(server):
         assert w.getnframes() == n
 
 
-def test_speculative_compile_failure_falls_back(run_dir, monkeypatch):
+def test_speculative_validation_failure_disables_routing(run_dir,
+                                                         monkeypatch):
     """serve must not crash if the speculative kernel's lowering fails
-    on the backend (round-3 VERDICT weak #1): the fallback is STAGED —
+    on the backend (round-3 VERDICT weak #1): validation is STAGED —
     a 3-gram failure retries once on the 2-gram; a second failure
-    serves the request on the standard kernel and disables speculative
-    routing for the rest of the server's lifetime."""
+    disables speculative routing for the server's lifetime and every
+    request is served by the standard kernel."""
     import movenet_tpu.ops.pallas.ar_sampler as ars
 
     calls = []
@@ -145,18 +147,19 @@ def test_speculative_compile_failure_falls_back(run_dir, monkeypatch):
     monkeypatch.setattr(ars, "pallas_generate", fake_pallas)
     svc = GenerationService(run_dir, prefer_pallas=True,
                             speculative=True)
+    assert svc.validate_speculative() is False
+    assert calls == [None, 3, 2]          # ref run, then staged o3/o2
+    assert svc.speculative is False       # disabled for the lifetime
+    assert svc.spec_validated is False
     n = svc.rf + 8
-    codes = svc.generate(n, temperature=0.0)  # B=1 greedy: spec route
+    codes = svc.generate(n, temperature=0.0)
     assert codes.shape == (1, n)
-    assert calls == [3, 2, None]           # staged: o3, o2, standard
-    assert svc.speculative is False        # disabled for the lifetime
-    svc.generate(n, temperature=0.0)
-    assert calls[3:] == [None]             # no further spec attempts
+    assert calls[3:] == [None]            # no further spec attempts
 
 
 def test_speculative_order3_failure_downgrades_to_order2(run_dir,
                                                          monkeypatch):
-    """If only the 3-gram pair table fails to lower, serve keeps
+    """If only the 3-gram pair table fails to lower, validation keeps
     speculating with the 2-gram (speculation stays enabled)."""
     import movenet_tpu.ops.pallas.ar_sampler as ars
 
@@ -178,15 +181,58 @@ def test_speculative_order3_failure_downgrades_to_order2(run_dir,
     monkeypatch.setattr(ars, "pallas_generate", fake_pallas)
     svc = GenerationService(run_dir, prefer_pallas=True,
                             speculative=True)
+    assert svc.validate_speculative() is True
+    assert calls == [None, 3, 2]          # ref, o3 fail, o2 bit-equal
+    assert svc.speculative is True        # speculation still on
+    assert svc.spec_order == 2
+    assert svc.spec_validated is True
     n = svc.rf + 8
     codes = svc.generate(n, temperature=0.0)
     assert codes.shape == (1, n)
-    assert calls == [3, 2]                 # downgraded, served by o2
-    assert svc.speculative is True         # speculation still on
-    assert svc.spec_order == 2
-    assert svc.last_spec_hit_rate is not None
-    svc.generate(n, temperature=0.0)
-    assert calls[2:] == [2]                # stays on o2, no o3 retry
+    assert calls[3:] == [2]               # routed by o2, no o3 retry
+    assert svc.last_spec_commit_ratio is not None
+    assert 0.0 <= svc.last_spec_commit_ratio < 1.0
+
+
+def test_speculative_staging_first_request_standard(run_dir,
+                                                    monkeypatch):
+    """Round-4 VERDICT item 8: until the in-process compile+bit-check
+    passes, B=1 greedy requests are served by the standard kernel; the
+    first eligible request kicks validation in the background and the
+    NEXT request rides the (validated) speculative kernel."""
+    import movenet_tpu.ops.pallas.ar_sampler as ars
+
+    real = ars.pallas_generate
+    calls = []
+
+    def fake_pallas(model, variables, prompt, n_samples,
+                    temperature=0.0, seed=0, parity_sampling=True,
+                    fast=True, speculative=False, spec_order=3, **kw):
+        calls.append(spec_order if speculative else None)
+        return real(model, variables, prompt, n_samples,
+                    temperature=temperature, seed=seed,
+                    parity_sampling=parity_sampling, fast=fast,
+                    speculative=speculative, spec_order=spec_order,
+                    interpret=True, **kw)
+
+    monkeypatch.setattr(ars, "pallas_generate", fake_pallas)
+    svc = GenerationService(run_dir, prefer_pallas=True,
+                            speculative=True)
+    assert svc.spec_validated is None      # pending
+    n = svc.rf + 8
+    codes, ratio = svc.generate_with_stats(n, temperature=0.0)
+    assert codes.shape == (1, n)
+    assert ratio is None                   # served standard
+    assert calls[0] is None                # standard kernel first
+    # background validation was kicked; wait for it to settle
+    deadline = time.monotonic() + 30
+    while svc.spec_validated is None and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert svc.spec_validated is True
+    codes2, ratio2 = svc.generate_with_stats(n, temperature=0.0)
+    assert ratio2 is not None              # now rides speculative
+    np.testing.assert_array_equal(codes2, codes)  # bit-equal transform
+    assert svc.info()["speculative"] == "active"
 
 
 def test_bad_request_keeps_serving(server):
