@@ -27,6 +27,7 @@ equivalence/grad tests pin it against the unfused XLA formulation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -120,7 +121,14 @@ def _ring_carry(dh, dfg_p, dfgp_ring, carry_ref, off, d: int,
     on non-concat dimension", v5e libtpu 2026-08: the slice carries a
     lane offset the ring read doesn't).  Routing both pieces through
     ``carry_ref`` lets the stores relayout each side for free.
+
+    Requires 0 < d < tile: d == tile would make the first store
+    zero-length (undefined at lowering).  All call sites guarantee it —
+    the head/padded path branches to the whole-window ring for
+    d >= tile, and tails mode requires every d < tile
+    (supports_recompute) — but assert so a new caller can't miss it.
     """
+    assert 0 < d < tile, (d, tile)  # trace-time, free
     saved = dfgp_ring[pl.ds(off, d), :]
     carry_ref[pl.ds(0, tile - d), :] = dfg_p[d:]
     carry_ref[pl.ds(tile - d, d), :] = saved
@@ -1235,10 +1243,19 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
     # kernel body is unchanged.  Halves the sequential grid steps and
     # doubles the wgrad contraction depth per issue; VMEM bounds the
     # multiplier (in-blocks double-buffer, dfgp rings scale with tile).
+    #
+    # OFF by default: the VMEM estimate below is unreliable — measured
+    # 185 MB actual vs ~81 MB estimated on breakdancing (mult=2), and
+    # 181.84 MB actual vs ~21 MB estimated on the exp03 shape
+    # (L=4, R=32, S=8; compile-time VMEM OOM on v5e, 2026-08-19) — so
+    # the auto path only ever fired on configs where it crashed the
+    # compile.  Opt in via MOVENET_BWD_TILE_MULT=2|4 after pricing the
+    # config with scripts/exp_trunk_bwd.py --tile.
     mult = 1
-    if not any(d >= tile for d in dilations):
+    want = int(os.environ.get("MOVENET_BWD_TILE_MULT", "1"))
+    if want > 1 and not any(d >= tile for d in dilations):
         isz = tfsg.dtype.itemsize
-        for cand in (4, 2):
+        for cand in (want,):
             if n_tiles % cand:
                 continue
             tb = tile * cand
@@ -1247,11 +1264,8 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
                            + (tfsg.dtype.itemsize * 0))
             vmem = 2 * per_in + 2 * 2 * tb * r * isz \
                 + n_layers * tb * r * 4 \
-                + (n_layers * tb * r * 4 if not save_h else 0)
-            # Mosaic's real appetite is ~2.3x this estimate (measured:
-            # est ~81 MB compiled to 185 MB and OOM'd the 128 MB VMEM
-            # on the breakdancing config at mult=2), so the budget is
-            # set to what actually fits; big configs stay at mult=1
+                + (n_layers * tb * r * 4 if not save_h else 0) \
+                + tb * r * 4  # (tile, r) f32 _ring_carry stage scratch
             if vmem <= 40 * 1024 * 1024:
                 mult = cand
                 break
