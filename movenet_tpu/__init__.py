@@ -33,5 +33,33 @@ __all__ = [
     "MAX_VIDEO_FRAMES",
     "VIDEO_FRAME_SIZE",
     "UPSAMPLE_STRIDE",
+    "make_wavenet",
+    "mu_law_encode",
+    "mu_law_decode",
+    "fast_generate",
     "__version__",
 ]
+
+# Lazy re-exports of the main user-facing entry points (the factory +
+# codec + sampler a reference user reaches for first; reference surface:
+# movenet/wavenet.py MoveNet + mu-law utils).  Resolved on first access
+# so `import movenet_tpu` stays light (no flax/optax import cost).
+_LAZY = {
+    "make_wavenet": ("movenet_tpu.models.wavenet", "make_wavenet"),
+    "mu_law_encode": ("movenet_tpu.ops.mulaw", "mu_law_encode"),
+    "mu_law_decode": ("movenet_tpu.ops.mulaw", "mu_law_decode"),
+    "fast_generate": ("movenet_tpu.models.sampler", "fast_generate"),
+}
+
+
+def __getattr__(name):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(
+            f"module 'movenet_tpu' has no attribute {name!r}") from None
+    import importlib
+
+    val = getattr(importlib.import_module(mod_name), attr)
+    globals()[name] = val  # cache for subsequent lookups
+    return val

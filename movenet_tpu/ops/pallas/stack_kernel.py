@@ -50,8 +50,17 @@ from movenet_tpu.ops.pallas.head_loss import (
 
 
 def pick_stack_tile(t: int, dilations) -> int:
-    for tile in (4000, 2000, 1600, 1000, 800, 512, 500, 400, 256, 200,
-                 128, 64, 32, 16, 8):
+    # MOVENET_STACK_TILE overrides the preference order head (A/B
+    # lever: the round-5 twin sweep measured the save-mode backward
+    # FASTER at tile 2000 than 4000 — 8.78 vs 10.17 ms, better
+    # hsave/tfsg double-buffering — but the forward pays more per-tile
+    # fixed cost, so the call is end-to-end and config-dependent)
+    prefer = (4000, 2000, 1600, 1000, 800, 512, 500, 400, 256, 200,
+              128, 64, 32, 16, 8)
+    want = int(os.environ.get("MOVENET_STACK_TILE", "0"))
+    if want:
+        prefer = (want,) + prefer
+    for tile in prefer:
         if t % tile or tile % 8:
             continue
         if all(d < tile or d % tile == 0 for d in dilations):

@@ -65,9 +65,15 @@ def make_kernel(variant):
     #   packeddfg: df/dg as dense (tile, 128) packed ops (roll + select)
     #              instead of six half-lane ops + concat
     #   golf:      all three
+    #   carrystage: the PRODUCTION d-row carry (stack_kernel._ring_carry,
+    #              round-4 Mosaic-concat workaround): stage
+    #              [dfg_p[d:]; saved] through a (TILE, R) scratch with
+    #              three partial stores + one full read — A/B against
+    #              the roll/where formulations above
     fold_bias = variant in ("fold_bias", "golf")
     oneroll = variant in ("oneroll", "golf")
     packeddfg = variant in ("packeddfg", "golf")
+    carrystage = variant == "carrystage"
 
     tail_offs, tot = [], 0
     for d in DIL:
@@ -80,7 +86,8 @@ def make_kernel(variant):
                w_out_t_ref, dskip_ref,
                dx_ref, dctx_ref, db_fg_ref, dw_fg_ref, dw_out_ref,
                db_out_ref,
-               dfgp_ring, dwfg_acc, dwout_acc, dbout_acc, dbfg_acc):
+               dfgp_ring, dwfg_acc, dwout_acc, dbout_acc, dbfg_acc,
+               carry_ref):
         b_idx = pl.program_id(0)
         rj = pl.program_id(1)
         ti = N_TILES - 1 - rj
@@ -174,6 +181,12 @@ def make_kernel(variant):
                 dfg_p = dfg_w[:, R: 2 * R]
                 if not vpu:
                     dh = dh + dfg_p
+                elif carrystage:
+                    saved = dfgp_ring[pl.ds(ring_offs[l], d), :]
+                    carry_ref[pl.ds(0, TILE - d), :] = dfg_p[d:]
+                    carry_ref[pl.ds(TILE - d, d), :] = saved
+                    dfgp_ring[pl.ds(ring_offs[l], d), :] = dfg_p[:d]
+                    dh = dh + carry_ref[:, :]
                 elif oneroll:
                     rolled_p = pltpu.roll(dfg_p, TILE - d, 0)
                     saved = dfgp_ring[pl.ds(ring_offs[l], TILE), :]
@@ -283,6 +296,7 @@ def main():
         pltpu.VMEM((L, R, R + S), jnp.float32),
         pltpu.VMEM((L, R + S), jnp.float32),
         pltpu.VMEM((L, 2 * R), jnp.float32),
+        pltpu.VMEM((TILE, R), jnp.float32),   # carrystage scratch
     ]
 
     for name in args.variants.split(","):

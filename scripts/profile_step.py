@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
+    from movenet_tpu.utils.chiplock import chip_lock
+    with chip_lock("profile_step", timeout_s=900):
+        _run(args)
+
+
+def _run(args):
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -229,3 +229,22 @@ def test_resolve_strategy_rules():
         resolve_strategy("recompute", (2, 1024, 16), 3, (1, 256, 512), 4)
     with pytest.raises(ValueError, match="unknown"):
         resolve_strategy("fastest", (2, 512, 16), 3, dil, 4)
+
+
+def test_pick_stack_tile_env_override(monkeypatch):
+    """MOVENET_STACK_TILE prepends a candidate but never bypasses the
+    divisibility / dilation constraints (stack_kernel.pick_stack_tile)."""
+    from movenet_tpu.ops.pallas.stack_kernel import pick_stack_tile
+
+    dil = (1, 2, 4) * 3
+    assert pick_stack_tile(160_000, dil) == 4000
+    monkeypatch.setenv("MOVENET_STACK_TILE", "2000")
+    assert pick_stack_tile(160_000, dil) == 2000
+    # invalid override (does not divide T) falls through to the default
+    monkeypatch.setenv("MOVENET_STACK_TILE", "3000")
+    assert pick_stack_tile(160_000, dil) == 4000
+    # override must still satisfy the dilation constraint
+    # (320 divides 1600 and is %8, but 512 neither fits inside nor
+    # divides evenly across a 320-tile)
+    monkeypatch.setenv("MOVENET_STACK_TILE", "320")
+    assert pick_stack_tile(1600, (1, 256, 512)) == 1600
