@@ -73,16 +73,19 @@ _front_embed.defvjp(_fe_fwd, _fe_bwd)
 
 
 def _ctx_proj_tile_ok(model: WaveNet, t: int) -> bool:
-    """The in-kernel projection backward needs the whole-stack kernel
-    tile to hold whole groups of 10 (the bwd splits its dctx tile into
-    per-phase columns)."""
+    """The in-kernel projection backward splits its dctx tile into
+    per-phase columns: the (tile/10, R) coarse blocks need tile % 80
+    (integral rows AND Mosaic's %8 second-to-last-dim rule — tile=1000
+    failed lowering on-chip 2026-08-19).  pick_stack_tile(ctx=True)
+    prefers such tiles but falls back when none divides T; re-check
+    %80 here so the projection stays out of the kernel on fallback."""
     from movenet_tpu.ops.pallas.stack_kernel import pick_stack_tile
 
     try:
-        tile = pick_stack_tile(t, tuple(model.dilations))
+        tile = pick_stack_tile(t, tuple(model.dilations), ctx=True)
     except ValueError:
         return False
-    return tile % 10 == 0
+    return tile % 80 == 0
 
 
 def _prepare_trunk(model: WaveNet, params, codes, video, labels,

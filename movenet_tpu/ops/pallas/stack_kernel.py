@@ -49,22 +49,40 @@ from movenet_tpu.ops.pallas.head_loss import (
 )
 
 
-def pick_stack_tile(t: int, dilations) -> int:
-    # MOVENET_STACK_TILE overrides the preference order head (A/B
-    # lever: the round-5 twin sweep measured the save-mode backward
-    # FASTER at tile 2000 than 4000 — 8.78 vs 10.17 ms, better
-    # hsave/tfsg double-buffering — but the forward pays more per-tile
-    # fixed cost, so the call is end-to-end and config-dependent)
-    prefer = (4000, 2000, 1600, 1000, 800, 512, 500, 400, 256, 200,
+def pick_stack_tile(t: int, dilations, ctx: bool = False) -> int:
+    # MOVENET_STACK_TILE overrides the preference order head.  The
+    # order is measured, not guessed: round-5 full-train-step sweep on
+    # the breakdancing config (v5e, 64 chained steps, fused save mode)
+    # gave 11.38 ms at tile 4000, 10.51 at 2000, 9.96 at 1600 (the
+    # minimum), 10.63 at 800 — smaller tiles double-buffer the ~46 MB
+    # hsave/tfsg backward streams that a 4000 tile cannot overlap,
+    # until per-tile fixed costs (ring writes, wgrad issues) win back
+    # below ~1600.  The forward alone prefers LARGER tiles (3.43 ms at
+    # 4000 vs 3.51 at 1600): the order is an end-to-end call.
+    #
+    # ctx=True: prefer tiles usable by the in-kernel stride-10 ctx
+    # projection backward, whose dctx/xc blocks are (tile/10, C) rows
+    # (wavenet.py UPSAMPLE_STRIDE): tile/10 must be integral AND %8
+    # (Mosaic's second-to-last-dim rule; tile=1000 -> 100 rows failed
+    # lowering on-chip 2026-08-19), i.e. tile % 80 == 0.  Soft: if no
+    # %80 tile divides T, fall back to the unconstrained pick —
+    # models/fused._ctx_proj_tile_ok re-checks %80 on the result and
+    # keeps the projection OUT of the kernel (full-rate ctx) then, so
+    # every kernel entry of one fwd/bwd pair still agrees on the tile.
+    prefer = (1600, 2000, 4000, 1000, 800, 512, 500, 400, 256, 200,
               128, 64, 32, 16, 8)
     want = int(os.environ.get("MOVENET_STACK_TILE", "0"))
     if want:
         prefer = (want,) + prefer
-    for tile in prefer:
-        if t % tile or tile % 8:
-            continue
-        if all(d < tile or d % tile == 0 for d in dilations):
-            return tile
+    passes = (True, False) if ctx else (False,)
+    for need80 in passes:
+        for tile in prefer:
+            if t % tile or tile % 8:
+                continue
+            if need80 and tile % 80:
+                continue
+            if all(d < tile or d % tile == 0 for d in dilations):
+                return tile
     raise ValueError(f"no stack tile for T={t}, dilations={dilations}")
 
 
@@ -359,7 +377,7 @@ def _fwd_pallas(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
     s = w_out.shape[2] - r
     has_ctx = ctx is not None
     n_layers = len(dilations)
-    tile = pick_stack_tile(t_total, dilations)
+    tile = pick_stack_tile(t_total, dilations, ctx=has_ctx)
     n_tiles = t_total // tile
     _, small_total, ring_rows = _split_ring_offsets(dilations, tile)
     small_pad = _pad8(small_total)
@@ -537,7 +555,7 @@ def _fwd_pallas_head(x, ctx, b_fg, w_fg, w_out, b_out, targets_tb,
     c = w2.shape[1]
     has_ctx = ctx is not None
     n_layers = len(dilations)
-    tile = pick_stack_tile(t_total, dilations)
+    tile = pick_stack_tile(t_total, dilations, ctx=has_ctx)
     n_tiles = t_total // tile
     _, small_total, ring_rows = _split_ring_offsets(dilations, tile)
     small_pad = _pad8(small_total)
@@ -761,7 +779,7 @@ def _bwd_pallas_head(hsave, tfsg, tails, ctx, w_fg, w_out, skip,
     s = w_out.shape[2] - r
     c = w2.shape[1]
     has_ctx = ctx is not None
-    tile = pick_stack_tile(t_total, dilations)
+    tile = pick_stack_tile(t_total, dilations, ctx=has_ctx)
     n_tiles = t_total // tile
     w_in = w_fg.shape[1]
     small_pad = tails.shape[2]
@@ -965,7 +983,7 @@ def _fwd_pallas_tails(x, ctx, b_fg, w_fg, w_out, b_out, dilations,
     batch, t_total, r = x.shape
     s = w_out.shape[2] - r
     has_ctx = ctx is not None
-    tile = pick_stack_tile(t_total, dilations)
+    tile = pick_stack_tile(t_total, dilations, ctx=has_ctx)
     n_tiles = t_total // tile
     ring_pad = _pad8(_ring_offsets(dilations)[1])
 
@@ -1148,7 +1166,7 @@ def _bwd_pallas_tails(x, tails, ctx, b_fg, w_fg, w_out, b_out, dskip,
     batch, t_total, r = x.shape
     s = w_out.shape[2] - r
     has_ctx = ctx is not None
-    tile = pick_stack_tile(t_total, dilations)
+    tile = pick_stack_tile(t_total, dilations, ctx=has_ctx)
     n_tiles = t_total // tile
     w_in = w_fg.shape[1]
     n_layers = len(dilations)
@@ -1239,7 +1257,7 @@ def _bwd_pallas(hsave, tfsg, tails, ctx, w_fg, w_out, dskip,
     r = two_r // 2
     s = w_out.shape[2] - r
     has_ctx = ctx is not None
-    tile = pick_stack_tile(t_total, dilations)
+    tile = pick_stack_tile(t_total, dilations, ctx=has_ctx)
     n_tiles = t_total // tile
     w_in = w_fg.shape[1]
     small_pad = tails.shape[2]

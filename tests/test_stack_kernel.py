@@ -237,14 +237,49 @@ def test_pick_stack_tile_env_override(monkeypatch):
     from movenet_tpu.ops.pallas.stack_kernel import pick_stack_tile
 
     dil = (1, 2, 4) * 3
-    assert pick_stack_tile(160_000, dil) == 4000
+    assert pick_stack_tile(160_000, dil) == 1600  # measured default
     monkeypatch.setenv("MOVENET_STACK_TILE", "2000")
     assert pick_stack_tile(160_000, dil) == 2000
     # invalid override (does not divide T) falls through to the default
     monkeypatch.setenv("MOVENET_STACK_TILE", "3000")
-    assert pick_stack_tile(160_000, dil) == 4000
+    assert pick_stack_tile(160_000, dil) == 1600
     # override must still satisfy the dilation constraint
     # (320 divides 1600 and is %8, but 512 neither fits inside nor
     # divides evenly across a 320-tile)
     monkeypatch.setenv("MOVENET_STACK_TILE", "320")
     assert pick_stack_tile(1600, (1, 256, 512)) == 1600
+
+
+def test_pick_stack_tile_ctx_constraint(monkeypatch):
+    """With ctx=True the in-kernel projection backward's coarse block
+    is (tile/10, C): prefer %80 tiles or Mosaic rejects the block shape
+    (observed on-chip at tile=1000 -> 100 rows, 2026-08-19); fall back
+    to the unconstrained pick when no %80 tile divides T (the caller
+    then keeps the projection out of the kernel)."""
+    from movenet_tpu.ops.pallas.stack_kernel import pick_stack_tile
+
+    dil = (1, 2, 4) * 3
+    monkeypatch.setenv("MOVENET_STACK_TILE", "1000")
+    assert pick_stack_tile(160_000, dil) == 1000          # audio-only ok
+    assert pick_stack_tile(160_000, dil, ctx=True) == 1600  # %80 preferred
+    monkeypatch.setenv("MOVENET_STACK_TILE", "1600")
+    assert pick_stack_tile(160_000, dil, ctx=True) == 1600
+    monkeypatch.delenv("MOVENET_STACK_TILE")
+    # no %80 tile divides 512: soft fallback keeps small ctx configs
+    # working (proj is separately disabled by _ctx_proj_tile_ok)
+    assert pick_stack_tile(512, (1, 2, 4, 1, 2, 4), ctx=True) == 512
+
+
+def test_ctx_proj_tile_ok_requires_mod80(monkeypatch):
+    from movenet_tpu.models.fused import _ctx_proj_tile_ok
+    from movenet_tpu.models.wavenet import WaveNet
+
+    model = WaveNet(layer_size=3, stack_size=2, input_channels=256,
+                    residual_channels=8, skip_channels=8)
+    assert _ctx_proj_tile_ok(model, 160_000)      # tile 1600, %80 ok
+    monkeypatch.setenv("MOVENET_STACK_TILE", "1000")
+    # override forces a non-%80 preference: pick falls back to 1600 for
+    # ctx=True so proj stays ON via the fallback tile
+    assert _ctx_proj_tile_ok(model, 160_000)
+    # T where only non-%80 tiles divide: proj must disable itself
+    assert not _ctx_proj_tile_ok(model, 512)
