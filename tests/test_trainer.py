@@ -123,7 +123,14 @@ def test_cli_end_to_end_video(dataset_root, tmp_path, monkeypatch):
               "--temperature", "0.0", "--batch_size", "1",
               "--speculative", "1", "--spec_order", "2",
               "--spec_depth", "2", "--out", str(tmp_path / "gen2")])
-    assert list((tmp_path / "gen2").rglob("generated_*.wav"))
+    cli_wavs = list((tmp_path / "gen2").rglob("generated_*.wav"))
+    assert cli_wavs
+    # semantic pin, not just flag parsing: greedy generation from the
+    # same checkpoint must produce the SAME audio through the CLI as
+    # through the API call above (speculation is bit-exact by design,
+    # and on CPU both requests are served by the same scan sampler)
+    assert cli_wavs[0].read_bytes() == \
+        written["generated"][0].read_bytes()
 
 
 def test_auto_resume(dataset_root, tmp_path, monkeypatch):
