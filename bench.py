@@ -537,7 +537,10 @@ def _leg_train():
                 state, m = step(state, batch)  # state-chained
             np.asarray(m["loss"])
 
-        best, med, worst = _timed_groups(group64, 3, chain)
+        # 4 groups for the bar metric: with 3, one relay stall eats a
+        # third of the samples (the tile-1600 record's spread shows a
+        # 323 ms stall in one of three groups); a 4th costs ~0.6 s
+        best, med, worst = _timed_groups(group64, 4, chain)
         flops = _train_step_model_flops(cfg.model_config, 2, 160_000)
         RECORD["train_steps_per_sec_breakdancing"] = round(1.0 / best, 3)
         RECORD["train_step_ms_spread"] = [
